@@ -1,0 +1,152 @@
+"""Core enums and status codes.
+
+TPU-native re-design of the reference's enum/type layer
+(reference: src/main/pub_types.h:23-217).  All enums are plain IntEnums so
+they can be stored inside jit-compiled integer state without boxing.
+"""
+
+from __future__ import annotations
+
+import enum
+
+
+class Status(enum.IntEnum):
+    """Solver status (reference: pub_types.h SLEQP_STATUS)."""
+
+    UNKNOWN = 0
+    RUNNING = 1
+    OPTIMAL = 2
+    INFEASIBLE = 3
+    UNBOUNDED = 4
+    ABORT_DEADPOINT = 5
+    ABORT_ITER = 6
+    ABORT_MANUAL = 7
+    ABORT_TIME = 8
+
+
+class ActiveState(enum.IntEnum):
+    """Active-set state per variable/constraint (pub_types.h:42-53).
+
+    Stored as int8 arrays of length n (vars) and m (cons) instead of the
+    reference's dynamically-sized working-set container: fixed shapes are
+    required under jit/vmap.
+    """
+
+    INACTIVE = 0
+    ACTIVE_LOWER = 1
+    ACTIVE_UPPER = 2
+    ACTIVE_BOTH = 3
+
+
+class BaseStat(enum.IntEnum):
+    """LP basis status per column (reference: lp/lpi_types.h:12-18)."""
+
+    LOWER = 0
+    UPPER = 1
+    BASIC = 2
+    ZERO = 3  # nonbasic free variable at zero
+
+
+class CauchyObjective(enum.IntEnum):
+    """LP objective type (reference: cauchy/cauchy_types.h:8-14)."""
+
+    DEFAULT = 0
+    FEAS = 1
+    MIXED = 2
+
+
+class StepType(enum.IntEnum):
+    """Last step classification (pub_types.h SLEQP_STEPTYPE)."""
+
+    NONE = 0
+    ACCEPTED = 1
+    ACCEPTED_FULL = 2
+    ACCEPTED_SOC = 3
+    REJECTED = 4
+
+
+class DualEstimationType(enum.IntEnum):
+    """How duals are estimated (pub_types.h:127-132)."""
+
+    LP = 0
+    LSQ = 1
+    MIXED = 2
+
+
+class StepRule(enum.IntEnum):
+    """Step acceptance rules (pub_types.h SLEQP_STEP_RULE)."""
+
+    DIRECT = 0
+    WINDOW = 1
+    MINSTEP = 2
+
+
+class Linesearch(enum.IntEnum):
+    """Trial-point linesearch flavor (pub_types.h:162-166)."""
+
+    APPROX = 0
+    EXACT = 1
+
+
+class HessEval(enum.IntEnum):
+    """Hessian evaluation mode (pub_types.h:104-110)."""
+
+    EXACT = 0
+    SIMPLE_BFGS = 1
+    DAMPED_BFGS = 2
+    SR1 = 3
+
+
+class BfgsSizing(enum.IntEnum):
+    """BFGS initial-scaling strategy (pub_types.h:112-116)."""
+
+    NONE = 0
+    CENTERED_OL = 1
+
+
+class TRSolver(enum.IntEnum):
+    """Trust-region subproblem solver (tr/tr_types.h)."""
+
+    AUTO = 0
+    CG = 1  # Steihaug projected CG
+    GLTR = 2  # Lanczos / GLTR (trlib equivalent)
+    LSQR = 3
+
+
+class Polishing(enum.IntEnum):
+    """Post-solve working set polishing (pub_types.h:142-147)."""
+
+    NONE = 0
+    ZERO_DUAL = 1
+    INACTIVE = 2
+
+
+class ParametricCauchy(enum.IntEnum):
+    """Parametric Cauchy mode (pub_types.h:149-154)."""
+
+    DISABLED = 0
+    COARSE = 1
+    FINE = 2
+
+
+class AugJacMethod(enum.IntEnum):
+    """How augmented-Jacobian systems are solved (pub_types.h:190-196)."""
+
+    AUTO = 0
+    STANDARD = 1
+    REDUCED = 2
+    DIRECT = 3
+
+
+class SolverPhase(enum.IntEnum):
+    """Top-level solver phase (reference: solver/phase.c)."""
+
+    OPTIMIZATION = 0
+    RESTORATION = 1
+
+
+# Numeric "infinity" used for LP bound arithmetic; values with magnitude
+# >= INF_THRESHOLD are treated as infinite (the reference uses
+# sleqp_infinity() = 1e20 semantics, src/main/cmp.c).
+INF = 1e20
+INF_THRESHOLD = 1e19
