@@ -1,0 +1,293 @@
+"""Fixed-shape bounded-variable revised simplex.
+
+TPU-native replacement for the reference's external LP backends
+(src/main/lp/: Gurobi/HiGHS/SoPlex behind the SleqpLPi vtable,
+lp/lpi_types.h:100-118).  The Cauchy subproblem needs exactly the features
+the vtable exposes: warm starts from a saved basis, primal & dual solutions,
+and per-column/row basis statuses for working-set extraction.
+
+Problem form (all shapes static => jit/vmap-able):
+
+    min  c^T x   s.t.  A x = 0,   lb <= x <= ub
+
+where the caller has already appended *logical* columns (-I) for ranged
+rows, so every row is an equality and row "basis status" is the status of
+its logical column.  Bounds use +-1e20 as infinity (types.INF).
+
+Algorithm: revised simplex with an explicitly maintained basis inverse
+(eta-style rank-1 updates, periodic refactorization via `jnp.linalg.solve`),
+Dantzig pricing with an automatic switch to Bland's rule after a stall to
+guarantee anti-cycling, and bound-flip ("type-2") iterations for boxed
+columns.  The whole solve is one `lax.while_loop`; each iteration is
+O(m*N) dense linear algebra that maps onto the MXU/VPU, in contrast to the
+pointer-chasing sparse pivoting of CPU LP codes.
+
+Warm starting: pass the `status` vector from a previous solve; the caller
+is responsible for providing a *primal-feasible* basis (the Cauchy layer
+repairs row columns via `crash_slack_basis`, mirroring the reference's
+slack-basis construction at cauchy/standard_cauchy.c:71-133).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import INF_THRESHOLD, BaseStat
+
+Array = jax.Array
+
+# Status codes returned by solve()
+OPTIMAL = 0
+ITERATION_LIMIT = 1
+UNBOUNDED = 2
+
+
+class SimplexResult(NamedTuple):
+    x: Array  # (N,) primal solution
+    duals: Array  # (m,) row duals y (c_B^T B^-1)
+    reduced_costs: Array  # (N,) c - A^T y
+    status: Array  # (N,) int8 per-column BaseStat
+    basis: Array  # (m,) int32 basic column per row
+    obj: Array  # scalar objective value
+    state: Array  # int32: OPTIMAL / ITERATION_LIMIT / UNBOUNDED
+    iterations: Array  # int32 pivot count
+
+
+def _finite(v: Array) -> Array:
+    return jnp.abs(v) < INF_THRESHOLD
+
+
+def _nonbasic_value(status: Array, lb: Array, ub: Array) -> Array:
+    """Value each nonbasic column rests at (basic columns -> 0 here)."""
+    at_lower = jnp.where(_finite(lb), lb, 0.0)
+    at_upper = jnp.where(_finite(ub), ub, 0.0)
+    val = jnp.where(status == BaseStat.LOWER, at_lower, 0.0)
+    val = jnp.where(status == BaseStat.UPPER, at_upper, val)
+    return val
+
+
+def _recompute(A: Array, basis: Array, status: Array, lb: Array, ub: Array):
+    """Refactorize: B_inv and basic values from scratch."""
+    B = A[:, basis]
+    m = A.shape[0]
+    B_inv = jnp.linalg.solve(B, jnp.eye(m, dtype=A.dtype))
+    xN = _nonbasic_value(status, lb, ub)
+    xB = -B_inv @ (A @ xN)
+    return B_inv, xB
+
+
+def solve(
+    A: Array,
+    c: Array,
+    lb: Array,
+    ub: Array,
+    basis: Array,
+    status: Array,
+    max_iterations: int,
+    opt_tol: float = 1e-9,
+    piv_tol: float = 1e-11,
+    refactor_every: int = 64,
+    bland_after: int = 100,
+) -> SimplexResult:
+    """Run the simplex from a primal-feasible starting basis.
+
+    ``basis[i]`` is the column basic in row i; ``status`` must satisfy
+    ``status[basis] == BASIC`` and mark every other column LOWER/UPPER/ZERO.
+    """
+    m, N = A.shape
+    dtype = A.dtype
+    basis = jnp.asarray(basis, dtype=jnp.int32)
+    status = jnp.asarray(status, dtype=jnp.int8)
+
+    B_inv, xB = _recompute(A, basis, status, lb, ub)
+
+    # Relative optimality tolerance: penalty objectives can be huge.
+    tol = opt_tol * (1.0 + jnp.max(jnp.abs(c)))
+
+    col_idx = jnp.arange(N, dtype=jnp.int32)
+    row_idx = jnp.arange(m, dtype=jnp.int32)
+
+    init = dict(
+        B_inv=B_inv,
+        xB=xB,
+        basis=basis,
+        status=status,
+        it=jnp.asarray(0, jnp.int32),
+        stall=jnp.asarray(0, jnp.int32),
+        state=jnp.asarray(-1, jnp.int32),  # -1 = running
+    )
+
+    def cond(s):
+        return jnp.logical_and(s["state"] < 0, s["it"] < max_iterations)
+
+    def body(s):
+        B_inv, xB, basis, status = s["B_inv"], s["xB"], s["basis"], s["status"]
+
+        # ---- pricing -------------------------------------------------
+        y = (c[basis] @ B_inv)  # row duals
+        r = c - y @ A  # reduced costs, O(mN)
+
+        is_basic = status == BaseStat.BASIC
+        free = status == BaseStat.ZERO
+        # direction each nonbasic col would move to improve
+        direction = jnp.where(status == BaseStat.UPPER, -1.0, 1.0)
+        direction = jnp.where(free, -jnp.sign(r), direction)
+        viol = jnp.where(is_basic, 0.0, direction * r)
+
+        use_bland = s["stall"] > bland_after
+        improving = viol < -tol
+        # Dantzig: most negative; Bland: smallest improving index.
+        q_dantzig = jnp.argmin(viol)
+        q_bland = jnp.min(jnp.where(improving, col_idx, N))
+        q = jnp.where(use_bland, jnp.minimum(q_bland, N - 1), q_dantzig).astype(
+            jnp.int32
+        )
+        optimal = ~jnp.any(improving)
+
+        dir_q = direction[q]
+        # ---- ratio test ----------------------------------------------
+        w = B_inv @ A[:, q]
+        delta = -dir_q * w  # rate of change of each basic value
+        lbB = lb[basis]
+        ubB = ub[basis]
+        inf = jnp.asarray(jnp.inf, dtype=dtype)
+
+        dec = delta < -piv_tol
+        inc = delta > piv_tol
+        t_dec = jnp.where(
+            dec & _finite(lbB), (xB - lbB) / jnp.where(dec, -delta, 1.0), inf
+        )
+        t_inc = jnp.where(
+            inc & _finite(ubB), (ubB - xB) / jnp.where(inc, delta, 1.0), inf
+        )
+        t_rows = jnp.maximum(jnp.where(dec, t_dec, t_inc), 0.0)
+        t_rows = jnp.where(dec | inc, t_rows, inf)
+
+        t_basic = jnp.min(t_rows)
+        both_finite = _finite(lb[q]) & _finite(ub[q])
+        t_flip = jnp.where(both_finite, ub[q] - lb[q], inf)
+
+        t = jnp.minimum(t_basic, t_flip)
+        unbounded = ~(t < inf)
+
+        # Leaving row: among near-minimal ratios pick the largest |w| for
+        # stability (Harris-flavored); Bland mode picks the smallest
+        # basic column index instead.
+        near = t_rows <= t_basic * (1.0 + 1e-9) + 1e-30
+        stab_score = jnp.where(near, jnp.abs(w), -1.0)
+        r_stab = jnp.argmax(stab_score)
+        r_bland = jnp.argmin(jnp.where(near, basis, N + 1))
+        row_r = jnp.where(use_bland, r_bland, r_stab).astype(jnp.int32)
+
+        do_flip = t_flip <= t_basic
+
+        # ---- apply the step ------------------------------------------
+        t_safe = jnp.where(unbounded, 0.0, t)
+        xB_moved = xB - t_safe * dir_q * w
+
+        # (a) bound flip: q swaps bound, basis unchanged
+        status_flip = status.at[q].set(
+            jnp.where(
+                status[q] == BaseStat.LOWER, BaseStat.UPPER, BaseStat.LOWER
+            ).astype(jnp.int8)
+        )
+
+        # (b) pivot: q enters, basis[row_r] leaves
+        leaving = basis[row_r]
+        leave_stat = jnp.where(
+            delta[row_r] < 0.0, BaseStat.LOWER, BaseStat.UPPER
+        ).astype(jnp.int8)
+        status_piv = status.at[leaving].set(leave_stat)
+        status_piv = status_piv.at[q].set(jnp.int8(BaseStat.BASIC))
+        basis_piv = basis.at[row_r].set(q)
+
+        # entering value after moving t from its resting point
+        q_rest = jnp.where(
+            status[q] == BaseStat.UPPER,
+            jnp.where(_finite(ub[q]), ub[q], 0.0),
+            jnp.where(
+                (status[q] == BaseStat.LOWER) & _finite(lb[q]), lb[q], 0.0
+            ),
+        )
+        xB_piv = xB_moved.at[row_r].set(q_rest + dir_q * t_safe)
+
+        # eta update of B_inv
+        w_r = w[row_r]
+        safe_wr = jnp.where(jnp.abs(w_r) > piv_tol, w_r, 1.0)
+        pivot_row = B_inv[row_r] / safe_wr
+        B_inv_piv = B_inv - jnp.outer(w, pivot_row)
+        B_inv_piv = B_inv_piv.at[row_r].set(pivot_row)
+
+        flip = do_flip & ~unbounded & ~optimal
+        piv = ~do_flip & ~unbounded & ~optimal
+
+        status_next = jnp.where(flip, status_flip, jnp.where(piv, status_piv, status))
+        basis_next = jnp.where(piv, basis_piv, basis)
+        B_inv_next = jnp.where(piv, B_inv_piv, B_inv)
+        xB_next = jnp.where(
+            flip, xB_moved, jnp.where(piv, xB_piv, xB)
+        )
+
+        # ---- periodic refactorization --------------------------------
+        it_next = s["it"] + 1
+        do_refac = piv & (it_next % refactor_every == 0)
+
+        def refac(_):
+            return _recompute(A, basis_next, status_next, lb, ub)
+
+        B_inv_next, xB_next = lax.cond(
+            do_refac, refac, lambda _: (B_inv_next, xB_next), operand=None
+        )
+
+        degenerate = t_safe <= 1e-12
+        stall_next = jnp.where(
+            optimal | unbounded,
+            s["stall"],
+            jnp.where(degenerate, s["stall"] + 1, 0),
+        )
+
+        state_next = jnp.where(
+            optimal,
+            OPTIMAL,
+            jnp.where(unbounded, UNBOUNDED, s["state"]),
+        ).astype(jnp.int32)
+
+        return dict(
+            B_inv=B_inv_next,
+            xB=xB_next,
+            basis=basis_next,
+            status=status_next,
+            it=jnp.where(optimal | unbounded, s["it"], it_next),
+            stall=stall_next,
+            state=state_next,
+        )
+
+    final = lax.while_loop(cond, body, init)
+
+    basis = final["basis"]
+    status = final["status"]
+    B_inv, xB = final["B_inv"], final["xB"]
+
+    x = _nonbasic_value(status, lb, ub)
+    x = x.at[basis].set(xB)
+    y = c[basis] @ B_inv
+    r = c - y @ A
+    state = jnp.where(final["state"] < 0, ITERATION_LIMIT, final["state"])
+
+    return SimplexResult(
+        x=x,
+        duals=y,
+        reduced_costs=r,
+        status=status,
+        basis=basis,
+        obj=jnp.vdot(c, x),
+        state=state,
+        iterations=final["it"],
+    )
+
+
