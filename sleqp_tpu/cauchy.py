@@ -1,0 +1,419 @@
+"""Cauchy (LP subproblem) layer.
+
+TPU-native equivalent of src/main/cauchy/standard_cauchy.c: builds and
+solves the LP
+
+    min  g^T d + penalty * sum(s+ + s-)
+    s.t. cons_lb - c <=  J d + s+ - s-  <= cons_ub - c        (rows)
+         max(var_lb - x, -radius) <= d <= min(var_ub - x, radius)
+         s+, s- >= 0
+
+(slack-split linearized l1-penalty inside an l-inf trust region,
+standard_cauchy.c:155-244,260-430), extracts the LP step, the working set
+from basis statuses (standard_cauchy.c:960-1135), LP duals
+(standard_cauchy.c:1389-…; signs flipped to the NLP convention), the
+criticality bound (cauchy/cauchy.c:137-150), the slack violation
+(standard_cauchy.c:1445-1462), and local-infeasibility detection
+(standard_cauchy.c:1190-1325).
+
+Column layout (N = n + 3m, all shapes static):
+
+    [0, n)        d      step components
+    [n, n+m)      s+     lower-violation slacks        (coeff +I)
+    [n+m, n+2m)   s-     upper-violation slacks        (coeff -I)
+    [n+2m, n+3m)  w      logical row columns           (coeff -I)
+
+Warm starts keep (basis, status) across SQP iterations per objective type
+{DEFAULT, FEAS, MIXED} exactly like the reference's saved bases
+(standard_cauchy.c:43-46,843-946).  A saved basis whose basic values are
+infeasible under the new Jacobian/bounds is repaired by re-slacking the
+row block while keeping the d-column statuses (the active-set estimate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .iterate import Iterate
+from .ops import simplex
+from .problem import ProblemData
+from .types import INF, INF_THRESHOLD, ActiveState, BaseStat
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CauchyBasis:
+    """Saved LP basis for warm starts (one per objective type)."""
+
+    basis: Array  # (m,) int32
+    status: Array  # (N,) int8
+    valid: Array  # bool scalar
+
+
+def empty_basis(n: int, m: int) -> CauchyBasis:
+    N = n + 3 * m
+    return CauchyBasis(
+        basis=jnp.zeros((m,), dtype=jnp.int32),
+        status=jnp.zeros((N,), dtype=jnp.int8),
+        valid=jnp.asarray(False),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CauchyResult:
+    """Everything the trial-point layer consumes from one LP solve."""
+
+    lp_step: Array  # (n,) d
+    var_states: Array  # (n,) int8 working-set states
+    cons_states: Array  # (m,) int8
+    cons_dual: Array  # (m,) NLP-convention duals (trimmed to working set)
+    vars_dual: Array  # (n,)
+    lp_obj: Array  # LP objective value (without f(x) offset)
+    violation: Array  # sum of slack values (standard_cauchy.c:1445)
+    locally_infeasible: Array  # bool
+    basis: CauchyBasis  # for warm starting the next solve
+    lp_state: Array  # simplex status code
+    lp_iterations: Array
+
+
+def _lp_data(
+    data: ProblemData,
+    it: Iterate,
+    trust_radius: Array,
+):
+    """Assemble (A, lb, ub) of the LP (standard_cauchy.c:203-430)."""
+    m, n = it.cons_jac.shape
+    dtype = it.cons_jac.dtype
+    eye = jnp.eye(m, dtype=dtype)
+    A = jnp.concatenate([it.cons_jac, eye, -eye, -eye], axis=1)
+
+    big = jnp.asarray(INF, dtype=dtype)
+    # d bounds: box intersected with the l-inf trust region
+    d_lb = jnp.maximum(
+        jnp.where(data.var_lb < -INF_THRESHOLD, -big, data.var_lb - it.x),
+        -trust_radius,
+    )
+    d_ub = jnp.minimum(
+        jnp.where(data.var_ub > INF_THRESHOLD, big, data.var_ub - it.x),
+        trust_radius,
+    )
+    zeros = jnp.zeros((m,), dtype=dtype)
+    infs = jnp.full((m,), INF, dtype=dtype)
+    w_lb = jnp.where(
+        data.cons_lb < -INF_THRESHOLD, -big, data.cons_lb - it.cons_val
+    )
+    w_ub = jnp.where(
+        data.cons_ub > INF_THRESHOLD, big, data.cons_ub - it.cons_val
+    )
+    lb = jnp.concatenate([d_lb, zeros, zeros, w_lb])
+    ub = jnp.concatenate([d_ub, infs, infs, w_ub])
+    return A, lb, ub
+
+
+def _objective(
+    it: Iterate, penalty: Array, feasibility_mode: bool
+) -> Array:
+    """LP objective (standard_cauchy.c:398-430): [g, λ, λ, 0] or [0, λ, λ, 0]."""
+    m, n = it.cons_jac.shape
+    dtype = it.cons_jac.dtype
+    g = jnp.zeros((n,), dtype=dtype) if feasibility_mode else it.obj_grad
+    pen = jnp.full((2 * m,), penalty, dtype=dtype)
+    return jnp.concatenate([g, pen, jnp.zeros((m,), dtype=dtype)])
+
+
+def _cold_basis(lb: Array, ub: Array, n: int, m: int):
+    """Slack basis at d = 0 (standard_cauchy.c:71-133 semantics).
+
+    d columns rest nonbasic at 0 (status ZERO; 0 is always inside the
+    d bounds since x is in the box), s columns at their lower bound 0,
+    and per row: w basic at 0 when 0 fits the row bounds, otherwise w
+    rests at the violated (finite) bound and the matching penalty slack
+    is basic, absorbing the violation.
+    """
+    w_lb = lb[n + 2 * m :]
+    w_ub = ub[n + 2 * m :]
+    below = w_lb > 0.0  # row violated from below: need w >= w_lb > 0
+    above = w_ub < 0.0  # row violated from above
+
+    rows = jnp.arange(m, dtype=jnp.int32)
+    basis = jnp.where(
+        below,
+        n + rows,  # s+ basic
+        jnp.where(above, n + m + rows, n + 2 * m + rows),  # s- or w basic
+    )
+
+    d_status = jnp.where(
+        lb[:n] == ub[:n], BaseStat.LOWER, BaseStat.ZERO
+    ).astype(jnp.int8)
+    w_status = jnp.where(
+        below,
+        BaseStat.LOWER,
+        jnp.where(above, BaseStat.UPPER, BaseStat.BASIC),
+    ).astype(jnp.int8)
+    sp_status = jnp.where(below, BaseStat.BASIC, BaseStat.LOWER).astype(jnp.int8)
+    sm_status = jnp.where(above, BaseStat.BASIC, BaseStat.LOWER).astype(jnp.int8)
+    status = jnp.concatenate([d_status, sp_status, sm_status, w_status])
+    return basis, status
+
+
+def _try_warm_basis(
+    A: Array,
+    lb: Array,
+    ub: Array,
+    saved: CauchyBasis,
+    n: int,
+    m: int,
+    feas_tol: float = 1e-9,
+):
+    """Validate a saved basis; fall back to a repaired/cold basis.
+
+    The reference delegates this to the LP backend's internal warm-start
+    logic; here we check primal feasibility of the basic solution under
+    the *new* LP data and re-slack if it fails.
+    """
+    cold_basis, cold_status = _cold_basis(lb, ub, n, m)
+
+    def use_cold(_):
+        return cold_basis, cold_status
+
+    def try_warm(_):
+        basis, status = saved.basis, saved.status
+        # structural consistency
+        count_ok = jnp.sum(status == BaseStat.BASIC) == m
+        basis_ok = jnp.all(status[basis] == BaseStat.BASIC)
+        # ZERO statuses must still contain 0, LOWER needs finite lb etc.
+        stat_ok = jnp.all(
+            jnp.where(
+                status == BaseStat.LOWER,
+                lb > -INF_THRESHOLD,
+                jnp.where(status == BaseStat.UPPER, ub < INF_THRESHOLD, True),
+            )
+        )
+        ok = count_ok & basis_ok & stat_ok
+
+        def check_feasible(_):
+            B = A[:, basis]
+            xN = simplex._nonbasic_value(status, lb, ub)
+            xB = jnp.linalg.solve(B, -(A @ xN))
+            lbB, ubB = lb[basis], ub[basis]
+            feas = jnp.all(
+                (xB >= lbB - feas_tol) & (xB <= ubB + feas_tol)
+            ) & jnp.all(jnp.isfinite(xB))
+            return feas
+
+        feasible = lax.cond(ok, check_feasible, lambda _: jnp.asarray(False), None)
+
+        def pick_warm(_):
+            return basis, status
+
+        return lax.cond(feasible, pick_warm, use_cold, None)
+
+    return lax.cond(saved.valid, try_warm, use_cold, None)
+
+
+def solve_cauchy_lp(
+    data: ProblemData,
+    it: Iterate,
+    trust_radius: Array,
+    penalty: Array,
+    saved_basis: CauchyBasis,
+    settings_eps: float = 1e-10,
+    max_iterations: int = -1,
+    feasibility_mode: bool = False,
+) -> CauchyResult:
+    """One LP solve + full extraction (standard_cauchy.c:843-1462)."""
+    m, n = it.cons_jac.shape
+    A, lb, ub = _lp_data(data, it, trust_radius)
+    c = _objective(it, penalty, feasibility_mode)
+    basis0, status0 = _try_warm_basis(A, lb, ub, saved_basis, n, m)
+
+    if max_iterations < 0:
+        max_iterations = 20 * (n + 3 * m) + 200
+
+    res = simplex.solve(
+        A, c, lb, ub, basis0, status0, max_iterations=max_iterations
+    )
+
+    d = res.x[:n]
+    slack_sum = jnp.sum(res.x[n : n + 2 * m])
+
+    # ---- working set from basis statuses ------------------------------
+    d_status = res.status[:n]
+    sp_status = res.status[n : n + m]
+    sm_status = res.status[n + m : n + 2 * m]
+    w_status = res.status[n + 2 * m :]
+
+    eps = settings_eps
+    equal_var_bounds = _equal_bounds(data.var_lb, data.var_ub, eps)
+    # var active iff nonbasic at a bound that is the *actual* variable
+    # bound rather than the trust region (standard_cauchy.c:1010-1025)
+    dist_lb = it.x - data.var_lb
+    dist_ub = data.var_ub - it.x
+    var_lower = (d_status == BaseStat.LOWER) & (dist_lb < trust_radius)
+    var_upper = (d_status == BaseStat.UPPER) & (dist_ub < trust_radius)
+    var_states = jnp.where(
+        equal_var_bounds,
+        ActiveState.ACTIVE_BOTH,
+        jnp.where(
+            var_lower,
+            ActiveState.ACTIVE_LOWER,
+            jnp.where(var_upper, ActiveState.ACTIVE_UPPER, ActiveState.INACTIVE),
+        ),
+    ).astype(jnp.int8)
+
+    zero_slacks = (sp_status == BaseStat.LOWER) & (sm_status == BaseStat.LOWER)
+    equal_cons_bounds = _equal_bounds(data.cons_lb, data.cons_ub, eps)
+    row_nonbasic = w_status != BaseStat.BASIC
+    cons_states = jnp.where(
+        row_nonbasic & zero_slacks,
+        jnp.where(
+            equal_cons_bounds,
+            ActiveState.ACTIVE_BOTH,
+            jnp.where(
+                w_status == BaseStat.LOWER,
+                ActiveState.ACTIVE_LOWER,
+                jnp.where(
+                    w_status == BaseStat.UPPER,
+                    ActiveState.ACTIVE_UPPER,
+                    ActiveState.INACTIVE,
+                ),
+            ),
+        ),
+        ActiveState.INACTIVE,
+    ).astype(jnp.int8)
+
+    # ---- duals (standard_cauchy.c:1389-…, signs to NLP convention) ----
+    # Row duals y satisfy r_w = y_i for logical columns; NLP convention
+    # flips the sign (reference: vec_scale(…, -1)).
+    cons_dual = -res.duals
+    vars_dual = -res.reduced_costs[:n]
+    cons_dual = _trim_duals(cons_dual, cons_states)
+    vars_dual = _trim_duals(vars_dual, var_states)
+
+    # ---- local infeasibility (standard_cauchy.c:1190-1325) ------------
+    tr_active = jnp.any(
+        ~equal_var_bounds
+        & (
+            ((d_status == BaseStat.LOWER) & (dist_lb >= trust_radius))
+            | ((d_status == BaseStat.UPPER) & (dist_ub >= trust_radius))
+        )
+    )
+    feasible_direction = jnp.all(jnp.where(row_nonbasic, zero_slacks, True))
+    locally_infeasible = ~(feasible_direction | tr_active)
+
+    new_basis = CauchyBasis(
+        basis=res.basis,
+        status=res.status,
+        valid=res.state == simplex.OPTIMAL,
+    )
+
+    return CauchyResult(
+        lp_step=d,
+        var_states=var_states,
+        cons_states=cons_states,
+        cons_dual=cons_dual,
+        vars_dual=vars_dual,
+        lp_obj=res.obj,
+        violation=slack_sum,
+        locally_infeasible=locally_infeasible,
+        basis=new_basis,
+        lp_state=res.state,
+        lp_iterations=res.iterations,
+    )
+
+
+def _equal_bounds(lb: Array, ub: Array, eps: float) -> Array:
+    """Eps-relative equality of finite bound pairs (cmp.c sleqp_is_eq)."""
+    both_finite = (lb > -INF_THRESHOLD) & (ub < INF_THRESHOLD)
+    return both_finite & (
+        jnp.abs(ub - lb) <= eps * (1.0 + jnp.abs(jnp.where(both_finite, lb, 0.0)))
+    )
+
+
+def _trim_duals(duals: Array, states: Array) -> Array:
+    """Zero inactive or wrong-sign duals (standard_cauchy.c:1331-1386).
+
+    ACTIVE_UPPER duals must be >= 0, ACTIVE_LOWER <= 0; ACTIVE_BOTH keeps
+    either sign.
+    """
+    out = jnp.where(states == ActiveState.INACTIVE, 0.0, duals)
+    out = jnp.where(
+        (states == ActiveState.ACTIVE_UPPER) & (out < 0.0), 0.0, out
+    )
+    out = jnp.where(
+        (states == ActiveState.ACTIVE_LOWER) & (out > 0.0), 0.0, out
+    )
+    return out
+
+
+def criticality_bound(
+    merit_value: Array, lp_obj: Array, obj_val: Array, trust_radius: Array
+) -> Array:
+    """(merit - LP objective incl. f offset) / min(radius, 1) (cauchy.c:137-150)."""
+    reduction = merit_value - (lp_obj + obj_val)
+    return reduction / jnp.minimum(trust_radius, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Specialized closed-form variants (no LP needed)
+# ---------------------------------------------------------------------------
+
+
+def solve_box_cauchy(
+    data: ProblemData, it: Iterate, trust_radius: Array
+) -> CauchyResult:
+    """Box-constrained problems: the LP decouples per coordinate
+    (reference: cauchy/box_constrained_cauchy.c — closed form).
+
+    min g^T d over the box∩TR: d_j = lower if g_j > 0, upper if g_j < 0.
+    """
+    m, n = it.cons_jac.shape
+    assert m == 0
+    dtype = it.x.dtype
+    d_lb = jnp.maximum(
+        jnp.where(data.var_lb < -INF_THRESHOLD, -INF, data.var_lb - it.x),
+        -trust_radius,
+    )
+    d_ub = jnp.minimum(
+        jnp.where(data.var_ub > INF_THRESHOLD, INF, data.var_ub - it.x),
+        trust_radius,
+    )
+    g = it.obj_grad
+    d = jnp.where(g > 0.0, d_lb, jnp.where(g < 0.0, d_ub, 0.0))
+
+    eps = 1e-10
+    equal = _equal_bounds(data.var_lb, data.var_ub, eps)
+    at_lower = (g > 0.0) & (it.x - data.var_lb < trust_radius)
+    at_upper = (g < 0.0) & (data.var_ub - it.x < trust_radius)
+    var_states = jnp.where(
+        equal,
+        ActiveState.ACTIVE_BOTH,
+        jnp.where(
+            at_lower,
+            ActiveState.ACTIVE_LOWER,
+            jnp.where(at_upper, ActiveState.ACTIVE_UPPER, ActiveState.INACTIVE),
+        ),
+    ).astype(jnp.int8)
+
+    vars_dual = _trim_duals(-g, var_states)
+    zero_m = jnp.zeros((0,), dtype=dtype)
+    return CauchyResult(
+        lp_step=d,
+        var_states=var_states,
+        cons_states=jnp.zeros((0,), dtype=jnp.int8),
+        cons_dual=zero_m,
+        vars_dual=vars_dual,
+        lp_obj=jnp.vdot(g, d),
+        violation=jnp.asarray(0.0, dtype=dtype),
+        locally_infeasible=jnp.asarray(False),
+        basis=empty_basis(n, 0),
+        lp_state=jnp.asarray(simplex.OPTIMAL, jnp.int32),
+        lp_iterations=jnp.asarray(0, jnp.int32),
+    )

@@ -169,8 +169,19 @@ def solve(
         t_rows = jnp.where(dec | inc, t_rows, inf)
 
         t_basic = jnp.min(t_rows)
-        both_finite = _finite(lb[q]) & _finite(ub[q])
-        t_flip = jnp.where(both_finite, ub[q] - lb[q], inf)
+        # Distance the entering column can travel before hitting its own
+        # opposite bound, measured from its rest value (handles ZERO
+        # columns resting at 0 between finite bounds).
+        q_rest_val = jnp.where(
+            status[q] == BaseStat.UPPER,
+            jnp.where(_finite(ub[q]), ub[q], 0.0),
+            jnp.where(
+                (status[q] == BaseStat.LOWER) & _finite(lb[q]), lb[q], 0.0
+            ),
+        )
+        t_flip_raw = jnp.where(dir_q > 0.0, ub[q] - q_rest_val, q_rest_val - lb[q])
+        flip_bound_finite = jnp.where(dir_q > 0.0, _finite(ub[q]), _finite(lb[q]))
+        t_flip = jnp.where(flip_bound_finite, jnp.maximum(t_flip_raw, 0.0), inf)
 
         t = jnp.minimum(t_basic, t_flip)
         unbounded = ~(t < inf)
@@ -190,11 +201,12 @@ def solve(
         t_safe = jnp.where(unbounded, 0.0, t)
         xB_moved = xB - t_safe * dir_q * w
 
-        # (a) bound flip: q swaps bound, basis unchanged
+        # (a) bound flip: q moves to the bound in its travel direction,
+        # basis unchanged (also moves ZERO columns onto a bound)
         status_flip = status.at[q].set(
-            jnp.where(
-                status[q] == BaseStat.LOWER, BaseStat.UPPER, BaseStat.LOWER
-            ).astype(jnp.int8)
+            jnp.where(dir_q > 0.0, BaseStat.UPPER, BaseStat.LOWER).astype(
+                jnp.int8
+            )
         )
 
         # (b) pivot: q enters, basis[row_r] leaves
@@ -207,14 +219,7 @@ def solve(
         basis_piv = basis.at[row_r].set(q)
 
         # entering value after moving t from its resting point
-        q_rest = jnp.where(
-            status[q] == BaseStat.UPPER,
-            jnp.where(_finite(ub[q]), ub[q], 0.0),
-            jnp.where(
-                (status[q] == BaseStat.LOWER) & _finite(lb[q]), lb[q], 0.0
-            ),
-        )
-        xB_piv = xB_moved.at[row_r].set(q_rest + dir_q * t_safe)
+        xB_piv = xB_moved.at[row_r].set(q_rest_val + dir_q * t_safe)
 
         # eta update of B_inv
         w_r = w[row_r]
