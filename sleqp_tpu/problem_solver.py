@@ -1,0 +1,485 @@
+"""The SQP iteration loop (problem solver).
+
+TPU-native equivalent of src/main/problem_solver/{solve.c,iteration.c,
+trust_radius.c,step.c} + the trial-point layer sequencing
+(src/main/trial_point.c, trial_point/cauchy_step.c):
+
+one `perform_iteration` = LP (Cauchy) step -> penalty update -> working set
++ LSQ duals -> optimality test -> working step -> Newton/EQP step via
+projected CG -> Cauchy-Newton linesearch -> trial evaluation -> step rule
+-> optional second-order correction -> trust-radius and penalty updates.
+
+The whole iteration is a pure function `SolverState -> SolverState`; the
+solve loop is `lax.while_loop(status == RUNNING, perform_iteration, s0)` and
+therefore jit-compiles into a single XLA program (and vmaps across problem
+instances with identical shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .cauchy import (
+    CauchyBasis,
+    CauchyResult,
+    _trim_duals,
+    empty_basis,
+    solve_box_cauchy,
+    solve_cauchy_lp,
+)
+from .iterate import (
+    Iterate,
+    create_iterate,
+    kkt_residuals,
+    max_violation,
+)
+from .linesearch import cauchy_linesearch, trial_linesearch
+from .merit import Direction, make_direction, merit_func, merit_linear
+from .newton import compute_newton_step, compute_working_step, _working_set_rhs
+from .ops.kkt import aug_jac_create, solve_lsq, solve_min_norm
+from .penalty import global_penalty_reset, update_penalty
+from .problem import Problem
+from .settings import Settings
+from .types import Status, StepType
+
+Array = jax.Array
+
+# problem_solver.c:10-11
+PENALTY_DEFAULT = 10.0
+TRUST_REGION_FACTOR = 0.8
+# iteration.c:10-13
+MAX_GLOBAL_RESETS = 2
+NUM_RESET_STEPS = 5
+SOC_SAFEGUARD_FACTOR = 10.0
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolverState:
+    """Complete, fixed-shape solver state (one SQP instance)."""
+
+    it: Iterate
+    trust_radius: Array
+    lp_trust_radius: Array
+    penalty: Array
+    basis: CauchyBasis
+    iteration: Array  # int32
+    status: Array  # int32 Status
+    last_step_type: Array  # int32 StepType
+    num_feasible_steps: Array
+    num_global_resets: Array
+    num_accepted: Array
+    num_soc_accepted: Array
+    num_rejected: Array
+    num_failed_eqp: Array
+    feas_res: Array
+    slack_res: Array
+    stat_res: Array
+    min_rayleigh: Array
+    max_rayleigh: Array
+    lp_iterations: Array  # total simplex pivots
+    boundary_step: Array  # bool
+
+
+def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverState:
+    """Initial radii/penalty (problem_solver.c:83-118, NARROW choice)."""
+    it = create_iterate(problem, x0)
+    n = problem.num_variables
+    m = problem.num_cons
+    dtype = problem.dtype
+    trust_radius = jnp.asarray(1.0, dtype=dtype)
+    lp_trust_radius = jnp.asarray(
+        TRUST_REGION_FACTOR / jnp.sqrt(float(max(n, 1))), dtype=dtype
+    )
+    zero_i = jnp.asarray(0, jnp.int32)
+    zero_f = jnp.asarray(0.0, dtype=dtype)
+    return SolverState(
+        it=it,
+        trust_radius=trust_radius,
+        lp_trust_radius=lp_trust_radius,
+        penalty=jnp.asarray(PENALTY_DEFAULT, dtype=dtype),
+        basis=empty_basis(n, m),
+        iteration=zero_i,
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        last_step_type=jnp.asarray(StepType.NONE, jnp.int32),
+        num_feasible_steps=zero_i,
+        num_global_resets=zero_i,
+        num_accepted=zero_i,
+        num_soc_accepted=zero_i,
+        num_rejected=zero_i,
+        num_failed_eqp=zero_i,
+        feas_res=jnp.asarray(jnp.inf, dtype=dtype),
+        slack_res=jnp.asarray(jnp.inf, dtype=dtype),
+        stat_res=jnp.asarray(jnp.inf, dtype=dtype),
+        min_rayleigh=zero_f,
+        max_rayleigh=zero_f,
+        lp_iterations=zero_i,
+        boundary_step=jnp.asarray(False),
+    )
+
+
+def _reduction_ratio(exact_reduction: Array, model_reduction: Array) -> Array:
+    """util.c:245-261 sleqp_reduction_ratio."""
+    eps = 10.0 * jnp.finfo(exact_reduction.dtype).eps
+    ce = exact_reduction - eps
+    cm = model_reduction - eps
+    tiny = (jnp.abs(cm) <= eps) & (jnp.abs(ce) <= eps)
+    return jnp.where(tiny, 1.0, ce / jnp.where(tiny, 1.0, cm))
+
+
+def _update_trust_radius(
+    trust_radius: Array,
+    ratio: Array,
+    accepted: Array,
+    direction_norm: Array,
+    eps: float,
+) -> Array:
+    """EQP radius update (trust_radius.c:47-84)."""
+    grow7 = jnp.maximum(trust_radius, 7.0 * direction_norm)
+    grow2 = jnp.maximum(trust_radius, 2.0 * direction_norm)
+    tiny_step = jnp.abs(direction_norm) <= eps
+    shrink = jnp.where(
+        tiny_step,
+        0.5 * trust_radius,
+        jnp.minimum(0.5 * trust_radius, 0.5 * direction_norm),
+    )
+    return jnp.where(
+        ratio >= 0.9,
+        grow7,
+        jnp.where(
+            ratio >= 0.3,
+            grow2,
+            jnp.where(accepted, trust_radius, shrink),
+        ),
+    )
+
+
+def _update_lp_trust_radius(
+    lp_trust_radius: Array,
+    accepted: Array,
+    trial_step_infnorm: Array,
+    cauchy_step_infnorm: Array,
+    full_cauchy_step: Array,
+) -> Array:
+    """LP radius update (trust_radius.c:5-45)."""
+    factor = 1.2
+    lhs = jnp.maximum(
+        jnp.maximum(factor * trial_step_infnorm, factor * cauchy_step_infnorm),
+        0.1 * lp_trust_radius,
+    )
+    grown = jnp.where(full_cauchy_step, 7.0 * lp_trust_radius, lp_trust_radius)
+    on_accept = jnp.minimum(lhs, grown)
+    reduced = jnp.maximum(0.5 * trial_step_infnorm, 0.1 * lp_trust_radius)
+    on_reject = jnp.minimum(reduced, lp_trust_radius)
+    return jnp.where(accepted, on_accept, on_reject)
+
+
+def perform_iteration(
+    problem: Problem, settings: Settings, state: SolverState
+) -> SolverState:
+    """One SQP iteration (problem_solver/iteration.c:350-601)."""
+    data = problem.data
+    it = state.it
+    n = problem.num_variables
+    m = problem.num_cons
+    dtype = problem.dtype
+
+    # ---- feasibility bookkeeping + global penalty reset ---------------
+    feas_now = max_violation(data, it.cons_val)
+    is_feasible = feas_now <= settings.feas_tol
+    num_feasible_steps = jnp.where(
+        is_feasible, state.num_feasible_steps + 1, 0
+    )
+    allow_reset = (
+        settings.global_penalty_resets
+        & (num_feasible_steps >= NUM_RESET_STEPS)
+        & (state.num_global_resets < MAX_GLOBAL_RESETS)
+    )
+    penalty, did_reset = global_penalty_reset(
+        it, state.penalty, allow_reset & is_feasible
+    )
+    num_global_resets = state.num_global_resets + did_reset.astype(jnp.int32)
+
+    merit_val = merit_func(data, it, penalty)
+
+    # ---- Cauchy LP step -----------------------------------------------
+    if m > 0:
+        cres = solve_cauchy_lp(
+            data,
+            it,
+            state.lp_trust_radius,
+            penalty,
+            state.basis,
+            settings_eps=settings.eps,
+        )
+
+        # Byrd penalty update when infeasible (cauchy_step.c:80-88)
+        def byrd(_):
+            return update_penalty(
+                data, it, state.lp_trust_radius, penalty, cres
+            )
+
+        def keep(_):
+            return penalty, cres, jnp.asarray(False)
+
+        penalty, cres, pen_changed = lax.cond(is_feasible, keep, byrd, None)
+        merit_val = jnp.where(
+            pen_changed, merit_func(data, it, penalty), merit_val
+        )
+    else:
+        cres = solve_box_cauchy(data, it, state.lp_trust_radius)
+
+    # ---- working set + duals onto the iterate -------------------------
+    it = dataclasses.replace(
+        it, var_states=cres.var_states, cons_states=cres.cons_states
+    )
+    aug_jac = aug_jac_create(it.cons_jac, it.var_states, it.cons_states)
+    _, lam = solve_lsq(aug_jac, -it.obj_grad)
+    it = dataclasses.replace(
+        it,
+        vars_dual=_trim_duals(lam[:n], it.var_states),
+        cons_dual=_trim_duals(lam[n:], it.cons_states),
+    )
+
+    feas_res, slack_res, stat_res = kkt_residuals(data, it)
+    optimal = (
+        (feas_res <= settings.feas_tol)
+        & (stat_res < settings.stat_tol)
+        & (slack_res < settings.slack_tol)
+    )
+    unbounded = (it.obj_val <= settings.obj_lower) & (
+        feas_res <= settings.feas_tol
+    )
+    locally_infeasible = cres.locally_infeasible & jnp.asarray(m > 0)
+    deadpoint = (state.lp_trust_radius <= settings.deadpoint_bound) | (
+        state.trust_radius <= settings.deadpoint_bound
+    )
+
+    # ---- working step + EQP multipliers -------------------------------
+    ws = compute_working_step(
+        data, it, aug_jac, state.trust_radius, settings.eps
+    )
+    multipliers = it.cons_dual + penalty * ws.violated_mult
+
+    def hess_prod(d):
+        return problem.hess_prod(it.x, d, multipliers)
+
+    # ---- Cauchy direction + linesearch --------------------------------
+    cauchy_dir = make_direction(it, cres.lp_step, hess_prod(cres.lp_step))
+    if settings.use_quadratic_model:
+        cauchy_dir, full_cauchy, cauchy_merit = cauchy_linesearch(
+            data,
+            it,
+            cauchy_dir,
+            penalty,
+            state.trust_radius,
+            settings.cauchy_tau,
+            settings.cauchy_eta,
+            settings.eps,
+        )
+    else:
+        full_cauchy = jnp.asarray(True)
+        cauchy_merit = merit_linear(data, it, cauchy_dir, penalty)
+
+    # ---- Newton/EQP step + trial linesearch ---------------------------
+    if settings.perform_newton_step and settings.use_quadratic_model:
+        newton = compute_newton_step(
+            data,
+            it,
+            aug_jac,
+            ws,
+            hess_prod,
+            penalty,
+            settings.max_newton_iterations,
+        )
+        trial_dir, alpha, model_trial = trial_linesearch(
+            data,
+            it,
+            cauchy_dir,
+            cauchy_merit,
+            newton.direction,
+            penalty,
+            settings.linesearch_tau,
+            settings.linesearch_eta,
+            settings.linesearch_cutoff,
+        )
+        failed_eqp = alpha == 0.0
+        min_ray, max_ray = newton.tr.min_rayleigh, newton.tr.max_rayleigh
+    else:
+        trial_dir = cauchy_dir
+        model_trial = cauchy_merit
+        failed_eqp = jnp.asarray(False)
+        min_ray = jnp.asarray(0.0, dtype=dtype)
+        max_ray = jnp.asarray(0.0, dtype=dtype)
+
+    # ---- trial evaluation + step rule ---------------------------------
+    x_trial = problem.clip_to_bounds(it.x + trial_dir.primal)
+    trial_it = create_iterate(problem, x_trial)
+    exact_trial = merit_func(data, trial_it, penalty)
+    ratio = _reduction_ratio(merit_val - exact_trial, merit_val - model_trial)
+    accepted = ratio >= settings.accepted_reduction
+
+    chosen_it = trial_it
+    soc_accepted = jnp.asarray(False)
+
+    # ---- second-order correction (iteration.c:484-560) ----------------
+    if m > 0 and settings.perform_soc:
+
+        def soc_branch(_):
+            # bound residuals of the working set at the trial point
+            trial_like = dataclasses.replace(
+                it, x=trial_it.x, cons_val=trial_it.cons_val
+            )
+            rhs = _working_set_rhs(data, trial_like)
+            soc_dir = solve_min_norm(aug_jac, rhs)
+            soc_primal = trial_dir.primal + soc_dir
+            norm_ok = jnp.linalg.norm(soc_primal) <= (
+                SOC_SAFEGUARD_FACTOR * state.trust_radius
+            )
+            x_soc = problem.clip_to_bounds(it.x + soc_primal)
+            soc_it = create_iterate(problem, x_soc)
+            soc_exact = merit_func(data, soc_it, penalty)
+            soc_ratio = _reduction_ratio(
+                merit_val - soc_exact, merit_val - model_trial
+            )
+            ok = norm_ok & (soc_ratio >= settings.accepted_reduction)
+            return ok, soc_it, soc_ratio
+
+        def no_soc(_):
+            return jnp.asarray(False), trial_it, ratio
+
+        soc_accepted, soc_it, soc_ratio = lax.cond(
+            accepted, no_soc, soc_branch, None
+        )
+        chosen_it = _tree_where(soc_accepted, soc_it, trial_it)
+        ratio = jnp.where(soc_accepted, soc_ratio, ratio)
+
+    final_accept = accepted | soc_accepted
+
+    # ---- trust-radius updates -----------------------------------------
+    trial_step_norm = jnp.linalg.norm(trial_dir.primal)
+    trial_step_infnorm = jnp.max(jnp.abs(trial_dir.primal), initial=0.0)
+    cauchy_step_infnorm = jnp.max(jnp.abs(cauchy_dir.primal), initial=0.0)
+    new_trust_radius = _update_trust_radius(
+        state.trust_radius, ratio, final_accept, trial_step_norm, settings.eps
+    )
+    new_lp_trust_radius = _update_lp_trust_radius(
+        state.lp_trust_radius,
+        final_accept,
+        trial_step_infnorm,
+        cauchy_step_infnorm,
+        full_cauchy,
+    )
+    boundary_step = trial_step_norm >= state.trust_radius * (1.0 - settings.eps)
+
+    step_type = jnp.where(
+        final_accept,
+        jnp.where(
+            soc_accepted,
+            StepType.ACCEPTED_SOC,
+            jnp.where(full_cauchy, StepType.ACCEPTED_FULL, StepType.ACCEPTED),
+        ),
+        StepType.REJECTED,
+    ).astype(jnp.int32)
+
+    next_it = _tree_where(final_accept, chosen_it, it)
+
+    running_state = SolverState(
+        it=next_it,
+        trust_radius=new_trust_radius,
+        lp_trust_radius=new_lp_trust_radius,
+        penalty=penalty,
+        basis=cres.basis,
+        iteration=state.iteration + 1,
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        last_step_type=step_type,
+        num_feasible_steps=num_feasible_steps,
+        num_global_resets=num_global_resets,
+        num_accepted=state.num_accepted
+        + (final_accept & ~soc_accepted).astype(jnp.int32),
+        num_soc_accepted=state.num_soc_accepted + soc_accepted.astype(jnp.int32),
+        num_rejected=state.num_rejected + (~final_accept).astype(jnp.int32),
+        num_failed_eqp=state.num_failed_eqp + failed_eqp.astype(jnp.int32),
+        feas_res=feas_res,
+        slack_res=slack_res,
+        stat_res=stat_res,
+        min_rayleigh=min_ray,
+        max_rayleigh=max_ray,
+        lp_iterations=state.lp_iterations + cres.lp_iterations,
+        boundary_step=boundary_step,
+    )
+
+    # ---- early termination: keep the (duals-updated) iterate ----------
+    stop = optimal | unbounded | locally_infeasible | deadpoint
+    stop_status = jnp.where(
+        optimal,
+        Status.OPTIMAL,
+        jnp.where(
+            unbounded,
+            Status.UNBOUNDED,
+            jnp.where(
+                locally_infeasible, Status.INFEASIBLE, Status.ABORT_DEADPOINT
+            ),
+        ),
+    ).astype(jnp.int32)
+    stopped_state = dataclasses.replace(
+        state,
+        it=it,
+        status=stop_status,
+        feas_res=feas_res,
+        slack_res=slack_res,
+        stat_res=stat_res,
+        basis=cres.basis,
+    )
+
+    return _tree_where(stop, stopped_state, running_state)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def solve_jit(
+    problem: Problem,
+    settings: Settings,
+    state0: SolverState,
+    max_iterations: int,
+) -> SolverState:
+    """Full solve as one compiled while_loop (solve.c:95-252)."""
+
+    def cond(s):
+        return (s.status == Status.RUNNING) & (s.iteration < max_iterations)
+
+    def body(s):
+        return perform_iteration(problem, settings, s)
+
+    final = lax.while_loop(cond, body, state0)
+    # iteration-limit statuses
+    hit_limit = (final.status == Status.RUNNING) & (
+        final.iteration >= max_iterations
+    )
+    return dataclasses.replace(
+        final,
+        status=jnp.where(
+            hit_limit, Status.ABORT_ITER, final.status
+        ).astype(jnp.int32),
+    )
+
+
+def solve(
+    problem: Problem,
+    settings: Settings,
+    x0: Array,
+    max_iterations: int = 1000,
+) -> SolverState:
+    """Convenience driver: init + jitted solve."""
+    state0 = initial_state(problem, settings, x0)
+    return solve_jit(problem, settings, state0, max_iterations)
