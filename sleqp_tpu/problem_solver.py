@@ -44,8 +44,9 @@ from .newton import compute_newton_step, compute_working_step, _working_set_rhs
 from .ops.kkt import aug_jac_create, solve_lsq, solve_min_norm
 from .penalty import global_penalty_reset, update_penalty
 from .problem import Problem
+from .quasi_newton import QNState, qn_init, qn_product, qn_push
 from .settings import Settings
-from .types import Status, StepType
+from .types import HessEval, Status, StepType
 
 Array = jax.Array
 
@@ -90,6 +91,7 @@ class SolverState:
     max_rayleigh: Array
     lp_iterations: Array  # total simplex pivots
     boundary_step: Array  # bool
+    qn: QNState  # quasi-Newton ring buffer (window 0 when hess_eval EXACT)
 
 
 def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverState:
@@ -126,6 +128,14 @@ def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverStat
         max_rayleigh=zero_f,
         lp_iterations=zero_i,
         boundary_step=jnp.asarray(False),
+        qn=qn_init(
+            n,
+            m,
+            settings.num_quasi_newton_iterates
+            if settings.hess_eval != HessEval.EXACT
+            else 0,
+            dtype,
+        ),
     )
 
 
@@ -266,14 +276,42 @@ def perform_iteration(
         state.trust_radius <= settings.deadpoint_bound
     )
 
+    # ---- quasi-Newton pair push (accepted steps, new duals) -----------
+    # Reference: solver.c wraps the func so hess_prod is served by the QN
+    # approximation; pairs push on accepted steps with the Lagrangian
+    # gradient difference at the new multipliers (quasi_newton.c:140).
+    qn = state.qn
+    if settings.hess_eval != HessEval.EXACT:
+
+        def push(q):
+            s_vec = it.x - q.prev_x
+            grad_new = it.obj_grad + it.cons_jac.T @ it.cons_dual
+            grad_old = q.prev_grad + q.prev_jac.T @ it.cons_dual
+            return qn_push(
+                q,
+                s_vec,
+                grad_new - grad_old,
+                settings.hess_eval,
+                settings.bfgs_sizing != 0,
+            )
+
+        qn = lax.cond(qn.pending, push, lambda q: q, qn)
+
     # ---- working step + EQP multipliers -------------------------------
     ws = compute_working_step(
         data, it, aug_jac, state.trust_radius, settings.eps
     )
     multipliers = it.cons_dual + penalty * ws.violated_mult
 
-    def hess_prod(d):
-        return problem.hess_prod(it.x, d, multipliers)
+    if settings.hess_eval == HessEval.EXACT:
+
+        def hess_prod(d):
+            return problem.hess_prod(it.x, d, multipliers)
+
+    else:
+
+        def hess_prod(d):
+            return qn_product(qn, d, settings.hess_eval)
 
     # ---- Cauchy direction + linesearch --------------------------------
     cauchy_dir = make_direction(it, cres.lp_step, hess_prod(cres.lp_step))
@@ -395,6 +433,19 @@ def perform_iteration(
 
     next_it = _tree_where(final_accept, chosen_it, it)
 
+    # record the pre-step point for the next QN pair (pushed next
+    # iteration once the new duals are available)
+    if settings.hess_eval != HessEval.EXACT:
+        qn_next = dataclasses.replace(
+            qn,
+            prev_x=jnp.where(final_accept, it.x, qn.prev_x),
+            prev_grad=jnp.where(final_accept, it.obj_grad, qn.prev_grad),
+            prev_jac=jnp.where(final_accept, it.cons_jac, qn.prev_jac),
+            pending=final_accept,
+        )
+    else:
+        qn_next = qn
+
     running_state = SolverState(
         it=next_it,
         trust_radius=new_trust_radius,
@@ -418,6 +469,7 @@ def perform_iteration(
         max_rayleigh=max_ray,
         lp_iterations=state.lp_iterations + cres.lp_iterations,
         boundary_step=boundary_step,
+        qn=qn_next,
     )
 
     # ---- early termination: keep the (duals-updated) iterate ----------
