@@ -1,0 +1,368 @@
+"""Top-level solver: restoration orchestration, callbacks, polishing, stats.
+
+TPU-native equivalent of src/main/solver.c + solver/ (solve.c, phase.c,
+print.c, state.c, callback.c): wraps the jitted problem solver with
+
+* restoration-phase toggling on local infeasibility
+  (solver/solve.c:195-238, restoration.c)
+* post-solve working-set polishing (solver/solve.c:283-287, polish.c)
+* event callbacks ACCEPTED_ITERATE / PERFORMED_ITERATION / FINISHED with
+  abort support (pub_types.h:168-174, solver/callback.c)
+* the per-iteration log table and the final stats banner
+  (problem_solver/print.c, solver/print.c)
+* a solution/state query API (pub_solver.h:26-100, pub_types.h:198-217)
+
+Two execution paths: a fully fused `lax.while_loop` fast path (no
+callbacks), and a Python-stepped path (one jitted iteration per step) when
+callbacks, time limits, or per-iteration logging are requested.
+"""
+
+from __future__ import annotations
+
+import enum
+import logging
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .iterate import Iterate
+from .polish import polish_iterate
+from .problem import Problem
+from .problem_solver import (
+    SolverState,
+    initial_state,
+    perform_iteration,
+    solve_jit,
+)
+from .restoration import (
+    make_restoration_problem,
+    restoration_initial_point,
+    restoration_settings,
+)
+from .settings import Settings
+from .types import SolverPhase, Status, StepType
+
+logger = logging.getLogger("sleqp_tpu")
+
+Array = jax.Array
+
+MAX_PHASE_TOGGLES = 10
+
+
+class SolverEvent(enum.IntEnum):
+    """Callback events (pub_types.h:168-174)."""
+
+    ACCEPTED_ITERATE = 0
+    PERFORMED_ITERATION = 1
+    FINISHED = 2
+
+
+_HEADER = (
+    f"{'iter':>6} {'obj':>14} {'merit':>14} {'feas':>9} {'slack':>9} "
+    f"{'stat':>9} {'penalty':>9} {'lp_tr':>9} {'eqp_tr':>9} {'step':>9}"
+)
+
+
+class Solver:
+    """User-facing solver handle (reference SleqpSolver, pub_solver.h)."""
+
+    def __init__(
+        self,
+        problem: Problem,
+        x0,
+        settings: Optional[Settings] = None,
+    ):
+        self.problem = problem
+        self.settings = settings if settings is not None else Settings()
+        self.x0 = jnp.asarray(x0, dtype=problem.dtype)
+        self.state: Optional[SolverState] = None
+        self.status = Status.UNKNOWN
+        self.phase = SolverPhase.OPTIMIZATION
+        self.num_phase_toggles = 0
+        self.elapsed_seconds = 0.0
+        self._callbacks: dict[SolverEvent, list[Callable]] = {
+            e: [] for e in SolverEvent
+        }
+        self._abort_requested = False
+        self._step_fn = None
+        self._restoration = None  # (problem, settings) lazily created
+
+    # -- callbacks ------------------------------------------------------
+
+    def add_callback(self, event: SolverEvent, fn: Callable) -> None:
+        self._callbacks[SolverEvent(event)].append(fn)
+
+    def remove_callback(self, event: SolverEvent, fn: Callable) -> None:
+        self._callbacks[SolverEvent(event)].remove(fn)
+
+    def abort(self) -> None:
+        """Request termination from a callback (pub_solver.h:64)."""
+        self._abort_requested = True
+
+    # -- solve ----------------------------------------------------------
+
+    def _needs_python_loop(self, time_limit) -> bool:
+        return (
+            any(self._callbacks[e] for e in SolverEvent if e != SolverEvent.FINISHED)
+            or time_limit is not None
+            or logger.isEnabledFor(logging.INFO)
+        )
+
+    def solve(
+        self,
+        max_iterations: int = 1000,
+        time_limit: Optional[float] = None,
+    ) -> Status:
+        start = time.perf_counter()
+        self._abort_requested = False
+        self.num_phase_toggles = 0
+
+        state = initial_state(self.problem, self.settings, self.x0)
+        python_loop = self._needs_python_loop(time_limit)
+
+        while True:
+            if python_loop:
+                state = self._solve_python(
+                    state, max_iterations, time_limit, start
+                )
+            else:
+                state = solve_jit(
+                    self.problem, self.settings, state, max_iterations
+                )
+
+            status = Status(int(state.status))
+            if (
+                status != Status.INFEASIBLE
+                or not self.settings.enable_restoration_phase
+                or self.problem.num_cons == 0
+                or self.num_phase_toggles >= MAX_PHASE_TOGGLES
+            ):
+                break
+            # ---- restoration phase (solver/solve.c:195-238) -----------
+            state = self._run_restoration(state, max_iterations)
+            self.num_phase_toggles += 1
+            if state is None:  # genuinely locally infeasible
+                break
+
+        if state is not None:
+            polished = polish_iterate(
+                self.problem.data,
+                state.it,
+                self.settings.polishing_type,
+                self.settings.eps,
+            )
+            import dataclasses
+
+            state = dataclasses.replace(state, it=polished)
+            self.state = state
+            self.status = Status(int(state.status))
+        self.elapsed_seconds = time.perf_counter() - start
+
+        for fn in self._callbacks[SolverEvent.FINISHED]:
+            fn(self)
+        if logger.isEnabledFor(logging.INFO):
+            self._print_stats()
+        return self.status
+
+    def _solve_python(self, state, max_iterations, time_limit, start):
+        """Python-stepped loop with callbacks/time-limit/logging."""
+        if self._step_fn is None:
+            problem, settings = self.problem, self.settings
+            self._step_fn = jax.jit(
+                lambda s: perform_iteration(problem, settings, s)
+            )
+        import dataclasses
+
+        logger.info(_HEADER)
+        while True:
+            if int(state.status) != Status.RUNNING:
+                break
+            if int(state.iteration) >= max_iterations:
+                state = dataclasses.replace(
+                    state, status=jnp.asarray(Status.ABORT_ITER, jnp.int32)
+                )
+                break
+            if time_limit is not None and (
+                time.perf_counter() - start > time_limit
+            ):
+                state = dataclasses.replace(
+                    state, status=jnp.asarray(Status.ABORT_TIME, jnp.int32)
+                )
+                break
+            if self._abort_requested:
+                state = dataclasses.replace(
+                    state, status=jnp.asarray(Status.ABORT_MANUAL, jnp.int32)
+                )
+                break
+            prev_iter = int(state.iteration)
+            state = self._step_fn(state)
+            self.state = state
+            if int(state.iteration) > prev_iter:
+                self._log_iteration(state)
+                for fn in self._callbacks[SolverEvent.PERFORMED_ITERATION]:
+                    fn(self)
+                if int(state.last_step_type) in (
+                    StepType.ACCEPTED,
+                    StepType.ACCEPTED_FULL,
+                    StepType.ACCEPTED_SOC,
+                ):
+                    for fn in self._callbacks[SolverEvent.ACCEPTED_ITERATE]:
+                        fn(self)
+        return state
+
+    def _run_restoration(self, state, max_iterations):
+        """Solve the restoration problem from the current iterate."""
+        logger.info("Entering restoration phase")
+        if self._restoration is None:
+            rest_problem = make_restoration_problem(self.problem)
+            rest_settings = restoration_settings(self.settings)
+            self._restoration = (rest_problem, rest_settings)
+        rest_problem, rest_settings = self._restoration
+
+        x = state.it.x
+        z0 = restoration_initial_point(self.problem, x)
+        rest_state = solve_jit(
+            rest_problem,
+            rest_settings,
+            initial_state(rest_problem, rest_settings, z0),
+            max_iterations,
+        )
+        rest_status = Status(int(rest_state.status))
+        x_restored = rest_state.it.x[: self.problem.num_variables]
+
+        logger.info(
+            "Restoration finished with status %s (objective %.3e)",
+            rest_status.name,
+            float(rest_state.it.obj_val),
+        )
+        # feasible again? continue optimizing from the restored point
+        c = self.problem.cons_val(x_restored)
+        from .iterate import max_violation
+
+        viol = float(max_violation(self.problem.data, c))
+        if viol <= self.settings.feas_tol * 10:
+            new_state = initial_state(
+                self.problem, self.settings, x_restored
+            )
+            import dataclasses
+
+            return dataclasses.replace(
+                new_state,
+                penalty=state.penalty,
+                iteration=state.iteration,
+            )
+        # restoration converged but original still infeasible
+        logger.info("Restoration could not restore feasibility")
+        import dataclasses
+
+        return dataclasses.replace(
+            state, status=jnp.asarray(Status.INFEASIBLE, jnp.int32)
+        )
+
+    # -- logging --------------------------------------------------------
+
+    def _log_iteration(self, state: SolverState) -> None:
+        if not logger.isEnabledFor(logging.INFO):
+            return
+        if int(state.iteration) % 25 == 0:
+            logger.info(_HEADER)
+        step_names = {
+            int(StepType.NONE): "-",
+            int(StepType.ACCEPTED): "accepted",
+            int(StepType.ACCEPTED_FULL): "full",
+            int(StepType.ACCEPTED_SOC): "soc",
+            int(StepType.REJECTED): "rejected",
+        }
+        logger.info(
+            "%6d %14.6e %14.6e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e %9s",
+            int(state.iteration),
+            float(state.it.obj_val),
+            float(state.it.obj_val),
+            float(state.feas_res),
+            float(state.slack_res),
+            float(state.stat_res),
+            float(state.penalty),
+            float(state.lp_trust_radius),
+            float(state.trust_radius),
+            step_names.get(int(state.last_step_type), "?"),
+        )
+
+    def _print_stats(self) -> None:
+        """Final banner (solver/print.c:10-90)."""
+        s = self.state
+        logger.info("%s", "-" * 60)
+        logger.info("Status        : %s", self.status.name)
+        logger.info("Objective     : %.10e", float(s.it.obj_val))
+        logger.info("Feas residuum : %.3e", float(s.feas_res))
+        logger.info("Slack residuum: %.3e", float(s.slack_res))
+        logger.info("Stat residuum : %.3e", float(s.stat_res))
+        logger.info("Iterations    : %d", int(s.iteration))
+        logger.info("Accepted      : %d", int(s.num_accepted))
+        logger.info("SOC accepted  : %d", int(s.num_soc_accepted))
+        logger.info("Rejected      : %d", int(s.num_rejected))
+        logger.info("LP pivots     : %d", int(s.lp_iterations))
+        logger.info("Elapsed       : %.3f s", self.elapsed_seconds)
+
+    # -- solution queries (pub_solver.h:26-100) -------------------------
+
+    @property
+    def solution(self) -> np.ndarray:
+        return np.asarray(self.state.it.x)
+
+    @property
+    def obj_val(self) -> float:
+        return float(self.state.it.obj_val)
+
+    @property
+    def cons_dual(self) -> np.ndarray:
+        return np.asarray(self.state.it.cons_dual)
+
+    @property
+    def vars_dual(self) -> np.ndarray:
+        return np.asarray(self.state.it.vars_dual)
+
+    @property
+    def iterations(self) -> int:
+        return int(self.state.iteration)
+
+    @property
+    def iterate(self) -> Iterate:
+        return self.state.it
+
+    def residuals(self) -> tuple[float, float, float]:
+        """(feasibility, slackness, stationarity) residua."""
+        s = self.state
+        return (
+            float(s.feas_res),
+            float(s.slack_res),
+            float(s.stat_res),
+        )
+
+    # solver state queries (pub_types.h:198-217)
+    def state_real(self, name: str) -> float:
+        mapping = {
+            "trust_radius": self.state.trust_radius,
+            "lp_trust_radius": self.state.lp_trust_radius,
+            "penalty_parameter": self.state.penalty,
+            "feas_res": self.state.feas_res,
+            "slack_res": self.state.slack_res,
+            "stat_res": self.state.stat_res,
+            "min_rayleigh": self.state.min_rayleigh,
+            "max_rayleigh": self.state.max_rayleigh,
+        }
+        return float(mapping[name])
+
+    def state_int(self, name: str) -> int:
+        mapping = {
+            "iteration": self.state.iteration,
+            "last_step_type": self.state.last_step_type,
+            "num_accepted": self.state.num_accepted,
+            "num_soc_accepted": self.state.num_soc_accepted,
+            "num_rejected": self.state.num_rejected,
+            "num_failed_eqp": self.state.num_failed_eqp,
+            "lp_iterations": self.state.lp_iterations,
+        }
+        return int(mapping[name])

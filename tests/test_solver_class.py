@@ -1,0 +1,89 @@
+"""Tests for the top-level Solver: restoration, callbacks, polishing, queries."""
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sleqp_tpu import Settings, Status
+from sleqp_tpu.solver import Solver, SolverEvent
+
+from fixtures import (
+    hs71_problem,
+    rosenbrock_problem,
+    wachbieg_problem,
+)
+
+
+def test_solver_basic():
+    problem, x0, x_opt = hs71_problem()
+    solver = Solver(problem, x0)
+    status = solver.solve(max_iterations=100)
+    assert status == Status.OPTIMAL
+    np.testing.assert_allclose(solver.solution, x_opt, atol=2e-5)
+    assert solver.obj_val < 17.02
+    feas, slack, stat = solver.residuals()
+    assert feas <= 1e-6 and stat <= 1e-6 and slack <= 1e-6
+    assert solver.iterations > 0
+    assert solver.state_real("penalty_parameter") > 0
+    assert solver.state_int("num_accepted") > 0
+
+
+def test_wachbieg_restoration():
+    """The Wachter-Biegler pathology requires the restoration phase."""
+    problem, x0, x_opt = wachbieg_problem()
+    solver = Solver(problem, x0)
+    status = solver.solve(max_iterations=200)
+    assert status == Status.OPTIMAL, (
+        f"{status.name} toggles={solver.num_phase_toggles} "
+        f"x={solver.solution} res={solver.residuals()}"
+    )
+    # solution set: x0 = x2 + 0.5, x1 = x0^2 - 1, x2 >= 0
+    x = solver.solution
+    assert x[2] >= -1e-8
+    np.testing.assert_allclose(x[0], x[2] + 0.5, atol=1e-6)
+    np.testing.assert_allclose(x[1], x[0] ** 2 - 1.0, atol=1e-6)
+
+
+def test_callbacks_and_abort():
+    problem, x0, _ = rosenbrock_problem()
+    solver = Solver(problem, x0)
+    seen = []
+
+    def on_iter(s):
+        seen.append(s.iterations)
+        if len(seen) >= 3:
+            s.abort()
+
+    solver.add_callback(SolverEvent.PERFORMED_ITERATION, on_iter)
+    status = solver.solve(max_iterations=100)
+    assert status in (Status.ABORT_MANUAL, Status.OPTIMAL)
+    assert len(seen) <= 4
+
+
+def test_finished_callback():
+    problem, x0, _ = rosenbrock_problem()
+    solver = Solver(problem, x0)
+    called = []
+    solver.add_callback(SolverEvent.FINISHED, lambda s: called.append(True))
+    solver.solve(max_iterations=100)
+    assert called == [True]
+
+
+def test_time_limit():
+    problem, x0, _ = rosenbrock_problem()
+    solver = Solver(problem, x0)
+    status = solver.solve(max_iterations=10000, time_limit=0.0)
+    assert status == Status.ABORT_TIME
+
+
+def test_polishing_zero_dual():
+    """After polishing, active entries carry nonzero duals."""
+    problem, x0, _ = hs71_problem()
+    solver = Solver(problem, x0)
+    solver.solve(max_iterations=100)
+    it = solver.iterate
+    vstates = np.asarray(it.var_states)
+    vduals = np.asarray(it.vars_dual)
+    assert np.all(vduals[vstates != 0] != 0)
