@@ -1,0 +1,172 @@
+"""Benchmark: batched SQP solves on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = BASELINE config 2: a batch of HS71 NLP instances (jittered
+starting points) solved by the fully fused vmapped solver on the default
+accelerator.  The headline value is **SQP instance-iterations per second**
+(total iterations executed across the batch / wall time).
+
+``vs_baseline``: the reference repo publishes no benchmark numbers
+(BASELINE.md: "published: {}"), so the ratio reported here is measured
+accelerator throughput / host-CPU throughput of the *same* workload —
+i.e. the speedup of one TPU chip over the host, which is the comparison
+the reference (a CPU-only library) implies.
+
+Robust to the remote-compile path: falls back from the fused whole-solve
+program to per-iteration stepping, and to CPU, if compilation fails.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BATCH = 64
+MAX_ITERATIONS = 60
+
+
+def _make_problem():
+    import jax.numpy as jnp
+
+    from sleqp_tpu import Func, Problem
+
+    def obj(x):
+        return x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2]
+
+    def cons(x):
+        return jnp.array([x[0] * x[1] * x[2] * x[3], jnp.vdot(x, x)])
+
+    func = Func(obj, num_variables=4, cons=cons, num_cons=2)
+    problem = Problem(
+        func,
+        var_lb=1.0,
+        var_ub=5.0,
+        general_lb=jnp.array([25.0, 40.0]),
+        general_ub=jnp.array([jnp.inf, 40.0]),
+    )
+    x0 = jnp.array([1.0, 5.0, 5.0, 1.0])
+    return problem, x0
+
+
+def _x0_batch(x0, batch):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    jitter = jnp.asarray(rng.uniform(-0.05, 0.05, (batch, x0.shape[0])))
+    return jnp.clip(x0[None, :] + jitter, 1.0, 5.0)
+
+
+def _bench_fused(device) -> tuple[float, int, int]:
+    """Returns (seconds, total_iterations, solved). Raises on failure."""
+    import jax
+
+    from sleqp_tpu import Settings, Status
+    from sleqp_tpu.parallel.batch import batched_initial_state
+    from sleqp_tpu.problem_solver import solve_jit
+
+    problem, x0 = _make_problem()
+    settings = Settings()
+    with jax.default_device(device):
+        x0b = _x0_batch(x0, BATCH)
+        state0 = batched_initial_state(problem, settings, x0b)
+        fn = jax.jit(
+            jax.vmap(lambda s: solve_jit(problem, settings, s, MAX_ITERATIONS))
+        )
+        out = fn(state0)  # compile + run
+        jax.block_until_ready(out)
+        # timed runs
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(state0)
+            jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        total_iters = int(np.sum(np.asarray(out.iteration)))
+        solved = int(np.sum(np.asarray(out.status) == Status.OPTIMAL))
+    return dt, total_iters, solved
+
+
+def _bench_stepped(device) -> tuple[float, int, int]:
+    """Per-iteration stepping fallback (smaller XLA programs)."""
+    import jax
+
+    from sleqp_tpu import Settings, Status
+    from sleqp_tpu.parallel.batch import batched_initial_state, batched_step
+
+    problem, x0 = _make_problem()
+    settings = Settings()
+    with jax.default_device(device):
+        x0b = _x0_batch(x0, BATCH)
+        state = batched_initial_state(problem, settings, x0b)
+        step = jax.jit(lambda s: batched_step(problem, settings, s))
+        state = step(state)  # compile
+        jax.block_until_ready(state)
+        state = batched_initial_state(problem, settings, x0b)
+        t0 = time.perf_counter()
+        for _ in range(MAX_ITERATIONS):
+            state = step(state)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        total_iters = int(np.sum(np.asarray(state.iteration)))
+        solved = int(np.sum(np.asarray(state.status) == Status.OPTIMAL))
+    return dt, total_iters, solved
+
+
+def _run_on(device):
+    try:
+        return _bench_fused(device), "fused"
+    except Exception as exc:  # remote-compile hiccups etc.
+        print(f"# fused path failed on {device}: {exc}", file=sys.stderr)
+        return _bench_stepped(device), "stepped"
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    accel_devices = [d for d in jax.devices() if d.platform != "cpu"]
+    try:
+        cpu_devices = jax.devices("cpu")
+    except RuntimeError:
+        cpu_devices = []
+
+    if accel_devices:
+        ((dt, iters, solved), mode) = _run_on(accel_devices[0])
+        value = iters / dt
+        # host-CPU baseline of the same workload
+        vs_baseline = 1.0
+        if cpu_devices:
+            try:
+                ((dt_cpu, iters_cpu, _), _m) = _run_on(cpu_devices[0])
+                cpu_rate = iters_cpu / dt_cpu
+                if cpu_rate > 0:
+                    vs_baseline = value / cpu_rate
+            except Exception as exc:
+                print(f"# cpu baseline failed: {exc}", file=sys.stderr)
+        unit = "SQP instance-iterations/s (1 chip)"
+    else:
+        ((dt, iters, solved), mode) = _run_on(cpu_devices[0])
+        value = iters / dt
+        vs_baseline = 1.0
+        unit = "SQP instance-iterations/s (host cpu)"
+
+    print(
+        json.dumps(
+            {
+                "metric": f"batched HS71 SQP throughput ({mode}, batch={BATCH}, solved={solved}/{BATCH})",
+                "value": round(value, 2),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
