@@ -194,3 +194,119 @@ def trial_linesearch(
     )
     trial_merit = jnp.where(alpha > 0.0, quad_merit(alpha), cauchy_quad_merit)
     return trial, alpha, trial_merit
+
+
+def trial_linesearch_exact(
+    data: ProblemData,
+    it: Iterate,
+    cauchy_dir: Direction,
+    cauchy_quad_merit: Array,
+    newton_dir: Direction,
+    penalty: Array,
+    cutoff: float,
+):
+    """EXACT variant (linesearch.c:794-…): globally minimize the quadratic
+    merit along the Cauchy->Newton segment.
+
+    phi(alpha) = q(alpha) + penalty * sum_i viol_i(a_i + alpha b_i) is
+    piecewise quadratic: q has constant curvature q2 and each constraint
+    contributes a piecewise-linear violation with two breakpoints.  The
+    reference sorts slope changes (linesearch.c:14-35); here we evaluate
+    phi at a fixed-shape candidate set — all bound-crossing breakpoints
+    plus the per-segment stationary points clipped into [0, alpha_max] —
+    which contains the global minimizer (vectorized O(K*m) work instead
+    of a sequential scan).
+    """
+    cc = jnp.vdot(cauchy_dir.primal, cauchy_dir.hess)
+    cn = jnp.vdot(cauchy_dir.primal, newton_dir.hess)
+    nn = jnp.vdot(newton_dir.primal, newton_dir.hess)
+
+    cauchy_newton = newton_dir.primal - cauchy_dir.primal
+    alpha_max = max_step_length(
+        it.x + cauchy_dir.primal, cauchy_newton, data.var_lb, data.var_ub
+    )
+
+    # linearized constraint values: v(alpha) = a + alpha * b
+    a = it.cons_val + cauchy_dir.cons_jac_dot
+    b = newton_dir.cons_jac_dot - cauchy_dir.cons_jac_dot
+
+    # quadratic part q(alpha) with q'(alpha) = q1 + q2*alpha
+    q1 = (newton_dir.obj_dot - cauchy_dir.obj_dot) - cc + cn
+    q2 = cc - 2.0 * cn + nn
+
+    safe_b = jnp.where(b != 0.0, b, 1.0)
+    cross_ub = jnp.where(
+        (b != 0.0) & (data.cons_ub < INF_THRESHOLD),
+        (data.cons_ub - a) / safe_b,
+        -1.0,
+    )
+    cross_lb = jnp.where(
+        (b != 0.0) & (data.cons_lb > -INF_THRESHOLD),
+        (data.cons_lb - a) / safe_b,
+        -1.0,
+    )
+    breaks = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype=a.dtype),
+            jnp.reshape(alpha_max, (1,)),
+            cross_ub,
+            cross_lb,
+        ]
+    )
+    breaks = jnp.clip(breaks, 0.0, alpha_max)
+    breaks = jnp.sort(breaks)
+
+    # per-segment stationary candidates: midpoints give the active
+    # penalty-slope regime; solve q1 + q2*alpha + pen_slope = 0 there
+    mids = 0.5 * (breaks[:-1] + breaks[1:])
+
+    def pen_slope(alpha):
+        v = a + alpha * b
+        return penalty * jnp.sum(
+            jnp.where(v > data.cons_ub, b, 0.0)
+            - jnp.where(v < data.cons_lb, b, 0.0)
+        )
+
+    slopes = jax.vmap(pen_slope)(mids)
+    safe_q2 = jnp.where(q2 != 0.0, q2, 1.0)
+    stationary = jnp.where(
+        q2 > 0.0, -(q1 + slopes) / safe_q2, mids
+    )
+    stationary = jnp.clip(stationary, breaks[:-1], breaks[1:])
+
+    candidates = jnp.concatenate([breaks, stationary])
+
+    def phi(alpha):
+        lin = (
+            it.obj_val
+            + (1.0 - alpha) * cauchy_dir.obj_dot
+            + alpha * newton_dir.obj_dot
+        )
+        v = a + alpha * b
+        viol = jnp.sum(
+            jnp.maximum(v - data.cons_ub, 0.0)
+            + jnp.maximum(data.cons_lb - v, 0.0)
+        )
+        quad = 0.5 * (1.0 - alpha) ** 2 * cc + alpha * (
+            (1.0 - alpha) * cn + 0.5 * alpha * nn
+        )
+        return lin + penalty * viol + quad
+
+    values = jax.vmap(phi)(candidates)
+    best = jnp.argmin(values)
+    alpha = candidates[best]
+    best_value = values[best]
+
+    # keep the Cauchy point when no candidate improves on it
+    use_cauchy = (best_value >= cauchy_quad_merit) | (alpha <= cutoff)
+    alpha = jnp.where(use_cauchy, 0.0, alpha)
+
+    trial = Direction(
+        primal=(1.0 - alpha) * cauchy_dir.primal + alpha * newton_dir.primal,
+        obj_dot=(1.0 - alpha) * cauchy_dir.obj_dot + alpha * newton_dir.obj_dot,
+        hess=(1.0 - alpha) * cauchy_dir.hess + alpha * newton_dir.hess,
+        cons_jac_dot=(1.0 - alpha) * cauchy_dir.cons_jac_dot
+        + alpha * newton_dir.cons_jac_dot,
+    )
+    trial_merit = jnp.where(use_cauchy, cauchy_quad_merit, best_value)
+    return trial, alpha, trial_merit

@@ -38,7 +38,11 @@ from .iterate import (
     kkt_residuals,
     max_violation,
 )
-from .linesearch import cauchy_linesearch, trial_linesearch
+from .linesearch import (
+    cauchy_linesearch,
+    trial_linesearch,
+    trial_linesearch_exact,
+)
 from .merit import Direction, make_direction, merit_func, merit_linear
 from .newton import compute_newton_step, compute_working_step, _working_set_rhs
 from .ops.kkt import aug_jac_create, solve_lsq, solve_min_norm
@@ -46,6 +50,7 @@ from .penalty import global_penalty_reset, update_penalty
 from .problem import Problem
 from .quasi_newton import QNState, qn_init, qn_product, qn_push
 from .settings import Settings
+from .step_rule import StepRuleState, apply_step_rule, step_rule_init
 from .types import HessEval, Status, StepType
 
 Array = jax.Array
@@ -92,6 +97,7 @@ class SolverState:
     lp_iterations: Array  # total simplex pivots
     boundary_step: Array  # bool
     qn: QNState  # quasi-Newton ring buffer (window 0 when hess_eval EXACT)
+    step_rule: StepRuleState  # nonmonotone step-rule state
 
 
 def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverState:
@@ -136,6 +142,7 @@ def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverStat
             else 0,
             dtype,
         ),
+        step_rule=step_rule_init(settings.step_rule, dtype),
     )
 
 
@@ -341,17 +348,30 @@ def perform_iteration(
             penalty,
             settings.max_newton_iterations,
         )
-        trial_dir, alpha, model_trial = trial_linesearch(
-            data,
-            it,
-            cauchy_dir,
-            cauchy_merit,
-            newton.direction,
-            penalty,
-            settings.linesearch_tau,
-            settings.linesearch_eta,
-            settings.linesearch_cutoff,
-        )
+        from .types import Linesearch
+
+        if settings.linesearch == Linesearch.EXACT:
+            trial_dir, alpha, model_trial = trial_linesearch_exact(
+                data,
+                it,
+                cauchy_dir,
+                cauchy_merit,
+                newton.direction,
+                penalty,
+                settings.linesearch_cutoff,
+            )
+        else:
+            trial_dir, alpha, model_trial = trial_linesearch(
+                data,
+                it,
+                cauchy_dir,
+                cauchy_merit,
+                newton.direction,
+                penalty,
+                settings.linesearch_tau,
+                settings.linesearch_eta,
+                settings.linesearch_cutoff,
+            )
         failed_eqp = alpha == 0.0
         min_ray, max_ray = newton.tr.min_rayleigh, newton.tr.max_rayleigh
     else:
@@ -365,11 +385,18 @@ def perform_iteration(
     x_trial = problem.clip_to_bounds(it.x + trial_dir.primal)
     trial_it = create_iterate(problem, x_trial)
     exact_trial = merit_func(data, trial_it, penalty)
-    ratio = _reduction_ratio(merit_val - exact_trial, merit_val - model_trial)
-    accepted = ratio >= settings.accepted_reduction
+    accepted, ratio, sr_accept, sr_reject = apply_step_rule(
+        settings.step_rule,
+        state.step_rule,
+        merit_val,
+        exact_trial,
+        model_trial,
+        settings.accepted_reduction,
+    )
 
     chosen_it = trial_it
     soc_accepted = jnp.asarray(False)
+    sr_soc = sr_reject
 
     # ---- second-order correction (iteration.c:484-560) ----------------
     if m > 0 and settings.perform_soc:
@@ -388,22 +415,30 @@ def perform_iteration(
             x_soc = problem.clip_to_bounds(it.x + soc_primal)
             soc_it = create_iterate(problem, x_soc)
             soc_exact = merit_func(data, soc_it, penalty)
-            soc_ratio = _reduction_ratio(
-                merit_val - soc_exact, merit_val - model_trial
+            soc_ok, soc_ratio, soc_sr_acc, _ = apply_step_rule(
+                settings.step_rule,
+                sr_reject,
+                merit_val,
+                soc_exact,
+                model_trial,
+                settings.accepted_reduction,
             )
-            ok = norm_ok & (soc_ratio >= settings.accepted_reduction)
-            return ok, soc_it, soc_ratio
+            ok = norm_ok & soc_ok
+            return ok, soc_it, soc_ratio, soc_sr_acc
 
         def no_soc(_):
-            return jnp.asarray(False), trial_it, ratio
+            return jnp.asarray(False), trial_it, ratio, sr_reject
 
-        soc_accepted, soc_it, soc_ratio = lax.cond(
+        soc_accepted, soc_it, soc_ratio, sr_soc = lax.cond(
             accepted, no_soc, soc_branch, None
         )
         chosen_it = _tree_where(soc_accepted, soc_it, trial_it)
         ratio = jnp.where(soc_accepted, soc_ratio, ratio)
 
     final_accept = accepted | soc_accepted
+    sr_next = _tree_where(
+        accepted, sr_accept, _tree_where(soc_accepted, sr_soc, sr_reject)
+    )
 
     # ---- trust-radius updates -----------------------------------------
     trial_step_norm = jnp.linalg.norm(trial_dir.primal)
@@ -470,6 +505,7 @@ def perform_iteration(
         lp_iterations=state.lp_iterations + cres.lp_iterations,
         boundary_step=boundary_step,
         qn=qn_next,
+        step_rule=sr_next,
     )
 
     # ---- early termination: keep the (duals-updated) iterate ----------

@@ -1,0 +1,61 @@
+"""Solver variant tests: exact linesearch, window/minstep step rules.
+
+Mirrors the reference step_rule_test.c coverage: all rules solve the
+fixtures to the same optima.
+"""
+
+import numpy as np
+import pytest
+
+from sleqp_tpu import Linesearch, Settings, Status, StepRule
+from sleqp_tpu.problem_solver import solve
+
+from fixtures import (
+    hs6_problem,
+    hs71_problem,
+    quadcons_problem,
+    rosenbrock_problem,
+)
+
+CASES = [rosenbrock_problem, quadcons_problem, hs6_problem, hs71_problem]
+
+
+@pytest.mark.parametrize("make", CASES)
+def test_exact_linesearch(make):
+    problem, x0, x_opt = make()
+    settings = Settings(linesearch=Linesearch.EXACT)
+    state = solve(problem, settings, x0, max_iterations=200)
+    assert int(state.status) == Status.OPTIMAL, (
+        f"{make.__name__}: {Status(int(state.status)).name} "
+        f"stat={float(state.stat_res):.2e} feas={float(state.feas_res):.2e}"
+    )
+    np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
+
+
+@pytest.mark.parametrize("rule", [StepRule.WINDOW, StepRule.MINSTEP])
+@pytest.mark.parametrize("make", CASES)
+def test_step_rules(rule, make):
+    problem, x0, x_opt = make()
+    settings = Settings(step_rule=rule)
+    state = solve(problem, settings, x0, max_iterations=200)
+    assert int(state.status) == Status.OPTIMAL, (
+        f"{make.__name__}/{rule.name}: {Status(int(state.status)).name}"
+    )
+    np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
+
+
+def test_linear_model_only():
+    """use_quadratic_model=False runs the pure SLP path."""
+    problem, x0, x_opt = quadcons_problem()
+    settings = Settings(use_quadratic_model=False, perform_newton_step=False)
+    state = solve(problem, settings, x0, max_iterations=500)
+    assert int(state.status) == Status.OPTIMAL
+    np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=1e-4)
+
+
+def test_no_newton_quadratic():
+    """Cauchy-only with quadratic model (perform_newton_step=False)."""
+    problem, x0, x_opt = rosenbrock_problem()
+    settings = Settings(perform_newton_step=False)
+    state = solve(problem, settings, x0, max_iterations=2000)
+    assert int(state.status) in (Status.OPTIMAL, Status.ABORT_ITER)
