@@ -1,0 +1,125 @@
+"""Suite driver emitting the reference CUTEst CSV schema.
+
+Mirrors src/test/cutest/sleqp_cutest_driver.c:104-121: one CSV line per
+problem:
+
+    name;nvars;ncons;status;obj;feas_res;slack_res;stat_res;iterations;
+    seconds;boundary_step;trust_radius;min_rayleigh;max_rayleigh
+
+plus solved-% accounting at the reference default tolerances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..settings import Settings
+from ..solver import Solver
+from ..types import Status
+from .hs import HS_PROBLEMS, get_problem
+
+CSV_HEADER = (
+    "name;nvars;ncons;status;obj;feas_res;slack_res;stat_res;iterations;"
+    "seconds;boundary_step;trust_radius;min_rayleigh;max_rayleigh"
+)
+
+_STATUS_NAMES = {
+    Status.OPTIMAL: "optimal",
+    Status.INFEASIBLE: "infeasible",
+    Status.UNBOUNDED: "unbounded",
+    Status.ABORT_ITER: "iter_limit",
+    Status.ABORT_TIME: "time_limit",
+    Status.ABORT_DEADPOINT: "deadpoint",
+    Status.ABORT_MANUAL: "aborted",
+    Status.UNKNOWN: "unknown",
+}
+
+
+@dataclasses.dataclass
+class SuiteResult:
+    rows: list[str]
+    solved: int
+    total: int
+    wrong_objective: list[str]
+
+    @property
+    def solved_fraction(self) -> float:
+        return self.solved / max(self.total, 1)
+
+
+def run_problem(
+    name: str,
+    settings: Optional[Settings] = None,
+    max_iterations: int = 500,
+    time_limit: Optional[float] = None,
+) -> tuple[str, bool, bool]:
+    """Solve one problem; returns (csv_row, solved, objective_matches)."""
+    problem, x0, f_opt = get_problem(name)
+    solver = Solver(problem, x0, settings)
+    start = time.perf_counter()
+    status = solver.solve(max_iterations=max_iterations, time_limit=time_limit)
+    seconds = time.perf_counter() - start
+
+    s = solver.state
+    feas, slack, stat = solver.residuals()
+    row = ";".join(
+        [
+            name,
+            str(problem.num_variables),
+            str(problem.num_cons),
+            _STATUS_NAMES.get(status, "unknown"),
+            f"{solver.obj_val:.10e}",
+            f"{feas:.6e}",
+            f"{slack:.6e}",
+            f"{stat:.6e}",
+            str(solver.iterations),
+            f"{seconds:.3f}",
+            str(bool(s.boundary_step)).lower(),
+            f"{float(s.trust_radius):.6e}",
+            f"{float(s.min_rayleigh):.6e}",
+            f"{float(s.max_rayleigh):.6e}",
+        ]
+    )
+    solved = status == Status.OPTIMAL
+    obj_ok = True
+    if solved and f_opt is not None:
+        obj_ok = abs(solver.obj_val - f_opt) <= 1e-4 * (1.0 + abs(f_opt))
+    return row, solved, obj_ok
+
+
+def run_suite(
+    names: Optional[Iterable[str]] = None,
+    settings: Optional[Settings] = None,
+    max_iterations: int = 500,
+    verbose: bool = False,
+) -> SuiteResult:
+    names = list(names) if names is not None else list(HS_PROBLEMS)
+    rows = []
+    solved = 0
+    wrong = []
+    for name in names:
+        row, ok, obj_ok = run_problem(name, settings, max_iterations)
+        rows.append(row)
+        if verbose:
+            print(row)
+        if ok and obj_ok:
+            solved += 1
+        elif ok and not obj_ok:
+            wrong.append(name)
+    return SuiteResult(
+        rows=rows, solved=solved, total=len(names), wrong_objective=wrong
+    )
+
+
+if __name__ == "__main__":
+    print(CSV_HEADER)
+    result = run_suite(verbose=True)
+    print(
+        f"# solved {result.solved}/{result.total} "
+        f"({100.0 * result.solved_fraction:.1f}%), "
+        f"wrong objective: {result.wrong_objective}"
+    )

@@ -1,0 +1,50 @@
+"""Harness smoke tests (full 39-problem sweep runs in CI/bench, not here)."""
+
+import numpy as np
+import pytest
+
+from sleqp_tpu.deriv_check import InvalidDerivativeError, check_derivatives
+from sleqp_tpu.harness import CSV_HEADER, run_suite
+from sleqp_tpu.harness.hs import HS_PROBLEMS, get_problem
+
+from fixtures import hs71_problem
+
+SUBSET = ["hs4", "hs9", "hs14", "hs35", "hs43", "hs71"]
+
+
+def test_registry_complete():
+    assert len(HS_PROBLEMS) >= 39
+    for name in HS_PROBLEMS:
+        problem, x0, f_opt = get_problem(name)
+        assert problem.num_variables == x0.shape[0]
+
+
+def test_suite_subset_all_solved():
+    result = run_suite(SUBSET, max_iterations=300)
+    assert result.solved == len(SUBSET), result.rows
+    assert not result.wrong_objective
+    # CSV schema matches the reference field count
+    assert len(CSV_HEADER.split(";")) == 14
+    for row in result.rows:
+        assert len(row.split(";")) == 14
+
+
+def test_deriv_check_passes_on_ad():
+    problem, x0, _ = hs71_problem()
+    findings = check_derivatives(problem, x0)
+    assert findings == []
+
+
+def test_deriv_check_catches_wrong_gradient():
+    import jax.numpy as jnp
+
+    from sleqp_tpu import Func, Problem
+
+    func = Func(
+        lambda x: jnp.vdot(x, x),
+        num_variables=2,
+        obj_grad=lambda x: 3.0 * x,  # wrong: should be 2x
+    )
+    problem = Problem(func)
+    with pytest.raises(InvalidDerivativeError):
+        check_derivatives(problem, jnp.array([1.0, 2.0]))
