@@ -125,12 +125,39 @@ def _run_on(device):
         return _bench_stepped(device), "stepped"
 
 
+def _discover_devices(timeout_s: int = 180):
+    """Backend init can hang if a TPU tunnel is broken; guard with alarm."""
+    import signal
+
+    import jax
+
+    class _InitTimeout(Exception):
+        pass
+
+    def _raise(signum, frame):
+        raise _InitTimeout()
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(timeout_s)
+    try:
+        devices = jax.devices()
+    except Exception as exc:
+        print(f"# device discovery failed: {exc}; using CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        devices = jax.devices()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    return devices
+
+
 def main() -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
 
-    accel_devices = [d for d in jax.devices() if d.platform != "cpu"]
+    all_devices = _discover_devices()
+    accel_devices = [d for d in all_devices if d.platform != "cpu"]
     try:
         cpu_devices = jax.devices("cpu")
     except RuntimeError:

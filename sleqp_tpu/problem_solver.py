@@ -338,16 +338,40 @@ def perform_iteration(
         cauchy_merit = merit_linear(data, it, cauchy_dir, penalty)
 
     # ---- Newton/EQP step + trial linesearch ---------------------------
+    # EQP solver choice (reference eqp.c): Gauss-Newton + LSQR for LSQ
+    # functions with exact Hessian mode, projected-CG Newton otherwise.
+    from .problem import LSQFunc
+    from .types import TRSolver
+
+    use_gauss_newton = (
+        isinstance(problem.func, LSQFunc)
+        and settings.hess_eval == HessEval.EXACT
+        and settings.tr_solver in (TRSolver.AUTO, TRSolver.LSQR)
+    )
+
     if settings.perform_newton_step and settings.use_quadratic_model:
-        newton = compute_newton_step(
-            data,
-            it,
-            aug_jac,
-            ws,
-            hess_prod,
-            penalty,
-            settings.max_newton_iterations,
-        )
+        if use_gauss_newton:
+            from .gauss_newton import compute_gauss_newton_step
+
+            newton = compute_gauss_newton_step(
+                problem,
+                data,
+                it,
+                aug_jac,
+                ws,
+                penalty,
+                settings.max_newton_iterations,
+            )
+        else:
+            newton = compute_newton_step(
+                data,
+                it,
+                aug_jac,
+                ws,
+                hess_prod,
+                penalty,
+                settings.max_newton_iterations,
+            )
         from .types import Linesearch
 
         if settings.linesearch == Linesearch.EXACT:
