@@ -98,6 +98,10 @@ class SolverState:
     boundary_step: Array  # bool
     qn: QNState  # quasi-Newton ring buffer (window 0 when hess_eval EXACT)
     step_rule: StepRuleState  # nonmonotone step-rule state
+    # dynamic (inexact) function state (dyn.py); inert otherwise
+    error_bound: Array
+    error_est: Array
+    refresh_eval: Array  # bool: re-evaluate iterate at tightened bound
 
 
 def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverState:
@@ -143,6 +147,11 @@ def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverStat
             dtype,
         ),
         step_rule=step_rule_init(settings.step_rule, dtype),
+        error_bound=jnp.asarray(
+            getattr(problem.func, "initial_error_bound", 0.0), dtype=dtype
+        ),
+        error_est=jnp.asarray(0.0, dtype=dtype),
+        refresh_eval=jnp.asarray(False),
     )
 
 
@@ -211,6 +220,31 @@ def perform_iteration(
     n = problem.num_variables
     m = problem.num_cons
     dtype = problem.dtype
+
+    # ---- dynamic functions: refresh the iterate at a tightened bound --
+    from .dyn import DynFunc, required_error_bound
+
+    is_dynamic = isinstance(problem.func, DynFunc)
+    iterate_err = state.error_est
+    if is_dynamic:
+
+        def refresh(args):
+            cur_it, _ = args
+            obj, grad, cons, jac, err = problem.func.eval_all_dyn(
+                cur_it.x, state.error_bound, state.penalty
+            )
+            new_it = dataclasses.replace(
+                cur_it,
+                obj_val=obj,
+                obj_grad=grad,
+                cons_val=cons,
+                cons_jac=jac,
+            )
+            return new_it, err
+
+        it, iterate_err = lax.cond(
+            state.refresh_eval, refresh, lambda args: args, (it, iterate_err)
+        )
 
     # ---- feasibility bookkeeping + global penalty reset ---------------
     feas_now = max_violation(data, it.cons_val)
@@ -311,9 +345,18 @@ def perform_iteration(
     multipliers = it.cons_dual + penalty * ws.violated_mult
 
     if settings.hess_eval == HessEval.EXACT:
+        if is_dynamic:
 
-        def hess_prod(d):
-            return problem.hess_prod(it.x, d, multipliers)
+            def hess_prod(d):
+                general_mult = multipliers[: problem.num_general]
+                return problem.func.hess_prod_dyn(
+                    it.x, d, general_mult, state.error_bound, penalty
+                )
+
+        else:
+
+            def hess_prod(d):
+                return problem.hess_prod(it.x, d, multipliers)
 
     else:
 
@@ -407,7 +450,24 @@ def perform_iteration(
 
     # ---- trial evaluation + step rule ---------------------------------
     x_trial = problem.clip_to_bounds(it.x + trial_dir.primal)
-    trial_it = create_iterate(problem, x_trial)
+    if is_dynamic:
+        t_obj, t_grad, t_cons, t_jac, trial_err = problem.func.eval_all_dyn(
+            x_trial, state.error_bound, penalty
+        )
+        trial_it = Iterate(
+            x=x_trial,
+            obj_val=t_obj,
+            obj_grad=t_grad,
+            cons_val=t_cons,
+            cons_jac=t_jac,
+            cons_dual=jnp.zeros((m,), dtype=dtype),
+            vars_dual=jnp.zeros((n,), dtype=dtype),
+            var_states=jnp.zeros((n,), dtype=jnp.int8),
+            cons_states=jnp.zeros((m,), dtype=jnp.int8),
+        )
+    else:
+        trial_it = create_iterate(problem, x_trial)
+        trial_err = jnp.asarray(0.0, dtype=dtype)
     exact_trial = merit_func(data, trial_it, penalty)
     accepted, ratio, sr_accept, sr_reject = apply_step_rule(
         settings.step_rule,
@@ -417,6 +477,28 @@ def perform_iteration(
         model_trial,
         settings.accepted_reduction,
     )
+
+    # ---- dynamic accuracy gate (trial_point.c:797-905) ----------------
+    # An insufficiently accurate evaluation cannot be trusted by the step
+    # rule: reject and tighten the bound; the next iteration re-evaluates.
+    error_bound_next = state.error_bound
+    refresh_next = jnp.asarray(False)
+    skip_soc = jnp.asarray(False)
+    if is_dynamic:
+        model_reduction = merit_val - model_trial
+        required = required_error_bound(
+            settings.accepted_reduction, jnp.maximum(model_reduction, 0.0)
+        )
+        total_err = jnp.maximum(iterate_err, trial_err)
+        insufficient = total_err > required
+        accepted = accepted & ~insufficient
+        error_bound_next = jnp.where(
+            insufficient,
+            jnp.minimum(state.error_bound, required),
+            state.error_bound,
+        )
+        refresh_next = insufficient
+        skip_soc = insufficient
 
     chosen_it = trial_it
     soc_accepted = jnp.asarray(False)
@@ -454,7 +536,7 @@ def perform_iteration(
             return jnp.asarray(False), trial_it, ratio, sr_reject
 
         soc_accepted, soc_it, soc_ratio, sr_soc = lax.cond(
-            accepted, no_soc, soc_branch, None
+            accepted | skip_soc, no_soc, soc_branch, None
         )
         chosen_it = _tree_where(soc_accepted, soc_it, trial_it)
         ratio = jnp.where(soc_accepted, soc_ratio, ratio)
@@ -477,6 +559,14 @@ def perform_iteration(
         trial_step_infnorm,
         cauchy_step_infnorm,
         full_cauchy,
+    )
+    # accuracy-driven rejections refine the evaluation, not the step: the
+    # reference recomputes within the iteration and leaves the radii alone
+    new_trust_radius = jnp.where(
+        skip_soc, state.trust_radius, new_trust_radius
+    )
+    new_lp_trust_radius = jnp.where(
+        skip_soc, state.lp_trust_radius, new_lp_trust_radius
     )
     boundary_step = trial_step_norm >= state.trust_radius * (1.0 - settings.eps)
 
@@ -530,6 +620,9 @@ def perform_iteration(
         boundary_step=boundary_step,
         qn=qn_next,
         step_rule=sr_next,
+        error_bound=error_bound_next,
+        error_est=jnp.where(final_accept, trial_err, iterate_err),
+        refresh_eval=refresh_next,
     )
 
     # ---- early termination: keep the (duals-updated) iterate ----------
