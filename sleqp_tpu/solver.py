@@ -75,8 +75,21 @@ class Solver:
         x0,
         settings: Optional[Settings] = None,
     ):
-        self.problem = problem
+        self.original_problem = problem
         self.settings = settings if settings is not None else Settings()
+        self._preprocessed = None
+        self._restored_iterate = None
+        if self.settings.enable_preprocessor:
+            from .preprocessor import PreprocessingResult, preprocess
+
+            pre = preprocess(problem)
+            if pre.result == PreprocessingResult.SUCCESS:
+                self._preprocessed = pre
+                problem = pre.problem
+                x0 = pre.reduce_point(jnp.asarray(x0, problem.dtype))
+            else:
+                self._preprocessed = pre  # infeasibility detected up front
+        self.problem = problem
         self.x0 = jnp.asarray(x0, dtype=problem.dtype)
         self.state: Optional[SolverState] = None
         self.status = Status.UNKNOWN
@@ -120,6 +133,15 @@ class Solver:
         self._abort_requested = False
         self.num_phase_toggles = 0
 
+        # presolve proved infeasibility (pub_types.h:176-181)
+        if self._preprocessed is not None and self._preprocessed.problem is None:
+            self.status = Status.INFEASIBLE
+            self.state = None
+            self.elapsed_seconds = time.perf_counter() - start
+            for fn in self._callbacks[SolverEvent.FINISHED]:
+                fn(self)
+            return self.status
+
         state = initial_state(self.problem, self.settings, self.x0)
         python_loop = self._needs_python_loop(time_limit)
 
@@ -159,6 +181,11 @@ class Solver:
             state = dataclasses.replace(state, it=polished)
             self.state = state
             self.status = Status(int(state.status))
+            if self._preprocessed is not None:
+                # map the reduced solution back (preprocessor restore.c)
+                self._restored_iterate = self._preprocessed.restore_iterate(
+                    state.it
+                )
         self.elapsed_seconds = time.perf_counter() - start
 
         for fn in self._callbacks[SolverEvent.FINISHED]:
@@ -309,20 +336,26 @@ class Solver:
     # -- solution queries (pub_solver.h:26-100) -------------------------
 
     @property
+    def _solution_iterate(self) -> Iterate:
+        if self._restored_iterate is not None:
+            return self._restored_iterate
+        return self.state.it
+
+    @property
     def solution(self) -> np.ndarray:
-        return np.asarray(self.state.it.x)
+        return np.asarray(self._solution_iterate.x)
 
     @property
     def obj_val(self) -> float:
-        return float(self.state.it.obj_val)
+        return float(self._solution_iterate.obj_val)
 
     @property
     def cons_dual(self) -> np.ndarray:
-        return np.asarray(self.state.it.cons_dual)
+        return np.asarray(self._solution_iterate.cons_dual)
 
     @property
     def vars_dual(self) -> np.ndarray:
-        return np.asarray(self.state.it.vars_dual)
+        return np.asarray(self._solution_iterate.vars_dual)
 
     @property
     def iterations(self) -> int:
@@ -330,7 +363,7 @@ class Solver:
 
     @property
     def iterate(self) -> Iterate:
-        return self.state.it
+        return self._solution_iterate
 
     def residuals(self) -> tuple[float, float, float]:
         """(feasibility, slackness, stationarity) residua."""
