@@ -363,22 +363,56 @@ def perform_iteration(
         def hess_prod(d):
             return qn_product(qn, d, settings.hess_eval)
 
-    # ---- Cauchy direction + linesearch --------------------------------
-    cauchy_dir = make_direction(it, cres.lp_step, hess_prod(cres.lp_step))
-    if settings.use_quadratic_model:
-        cauchy_dir, full_cauchy, cauchy_merit = cauchy_linesearch(
+    # ---- Cauchy direction + linesearch (or parametric sweep) ----------
+    from .types import ParametricCauchy
+
+    lp_tr_current = state.lp_trust_radius
+    use_parametric = (
+        m > 0
+        and settings.parametric_cauchy != ParametricCauchy.DISABLED
+        and settings.use_quadratic_model
+    )
+    if use_parametric:
+        from .parametric import parametric_solve
+
+        cres, lp_tr_current, cauchy_dir, cauchy_merit = parametric_solve(
+            settings.parametric_cauchy,
             data,
             it,
-            cauchy_dir,
+            hess_prod,
             penalty,
-            state.trust_radius,
-            settings.cauchy_tau,
+            lp_tr_current,
+            cres,
             settings.cauchy_eta,
             settings.eps,
         )
-    else:
+        # re-extract the working set at the accepted radius and rebuild
+        # the KKT factorization + working step (cauchy_step.c:205-231)
+        it = dataclasses.replace(
+            it, var_states=cres.var_states, cons_states=cres.cons_states
+        )
+        aug_jac = aug_jac_create(it.cons_jac, it.var_states, it.cons_states)
+        ws = compute_working_step(
+            data, it, aug_jac, state.trust_radius, settings.eps
+        )
+        multipliers = it.cons_dual + penalty * ws.violated_mult
         full_cauchy = jnp.asarray(True)
-        cauchy_merit = merit_linear(data, it, cauchy_dir, penalty)
+    else:
+        cauchy_dir = make_direction(it, cres.lp_step, hess_prod(cres.lp_step))
+        if settings.use_quadratic_model:
+            cauchy_dir, full_cauchy, cauchy_merit = cauchy_linesearch(
+                data,
+                it,
+                cauchy_dir,
+                penalty,
+                state.trust_radius,
+                settings.cauchy_tau,
+                settings.cauchy_eta,
+                settings.eps,
+            )
+        else:
+            full_cauchy = jnp.asarray(True)
+            cauchy_merit = merit_linear(data, it, cauchy_dir, penalty)
 
     # ---- Newton/EQP step + trial linesearch ---------------------------
     # EQP solver choice (reference eqp.c): Gauss-Newton + LSQR for LSQ
@@ -554,7 +588,7 @@ def perform_iteration(
         state.trust_radius, ratio, final_accept, trial_step_norm, settings.eps
     )
     new_lp_trust_radius = _update_lp_trust_radius(
-        state.lp_trust_radius,
+        lp_tr_current,
         final_accept,
         trial_step_infnorm,
         cauchy_step_infnorm,
@@ -566,7 +600,7 @@ def perform_iteration(
         skip_soc, state.trust_radius, new_trust_radius
     )
     new_lp_trust_radius = jnp.where(
-        skip_soc, state.lp_trust_radius, new_lp_trust_radius
+        skip_soc, lp_tr_current, new_lp_trust_radius
     )
     boundary_step = trial_step_norm >= state.trust_radius * (1.0 - settings.eps)
 

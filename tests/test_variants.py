@@ -59,3 +59,19 @@ def test_no_newton_quadratic():
     settings = Settings(perform_newton_step=False)
     state = solve(problem, settings, x0, max_iterations=2000)
     assert int(state.status) in (Status.OPTIMAL, Status.ABORT_ITER)
+
+
+@pytest.mark.parametrize(
+    "mode", ["COARSE", "FINE"]
+)
+@pytest.mark.parametrize("make", [quadcons_problem, hs71_problem])
+def test_parametric_cauchy(mode, make):
+    from sleqp_tpu.types import ParametricCauchy
+
+    problem, x0, x_opt = make()
+    settings = Settings(parametric_cauchy=ParametricCauchy[mode])
+    state = solve(problem, settings, x0, max_iterations=200)
+    assert int(state.status) == Status.OPTIMAL, (
+        f"{make.__name__}/{mode}: {Status(int(state.status)).name}"
+    )
+    np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
