@@ -128,11 +128,14 @@ def compute_newton_step(
     hess_prod: Callable[[Array], Array],
     penalty: Array,
     max_iterations: int,
+    use_gltr: bool = False,
 ) -> NewtonResult:
     """EQP direction (newton.c:443-556 newton_solver_compute_direction).
 
     ``hess_prod`` must already close over the EQP multipliers
-    (cons_dual + penalty*violated, newton.c:194-216).
+    (cons_dual + penalty*violated, newton.c:194-216).  ``use_gltr``
+    selects the Lanczos/More-Sorensen solver (trlib equivalent) instead
+    of Steihaug projected CG (newton.c:96-106 auto-selection).
     """
     gradient = (
         it.obj_grad
@@ -140,13 +143,24 @@ def compute_newton_step(
         + penalty * (it.cons_jac.T @ ws.violated_mult)
     )
 
-    tr = steihaug_cg(
-        hess_prod,
-        aug_jac,
-        gradient,
-        ws.reduced_trust_radius,
-        max_iterations=max_iterations,
-    )
+    if use_gltr:
+        from .ops.gltr import gltr
+
+        tr = gltr(
+            hess_prod,
+            aug_jac,
+            gradient,
+            ws.reduced_trust_radius,
+            max_iterations=max_iterations,
+        )
+    else:
+        tr = steihaug_cg(
+            hess_prod,
+            aug_jac,
+            gradient,
+            ws.reduced_trust_radius,
+            max_iterations=max_iterations,
+        )
     # Degenerate radius: only the initial step survives (newton.c:501-508)
     zero_radius = ws.reduced_trust_radius <= 1e-20
     step = jnp.where(zero_radius, ws.step, ws.step + tr.step)

@@ -440,6 +440,10 @@ def perform_iteration(
                 settings.max_newton_iterations,
             )
         else:
+            # reference AUTO picks GLTR (trlib) unless the Hessian is
+            # declared PSD (newton.c:96-106); CG remains our AUTO default
+            # pending a full-suite comparison.
+            use_gltr = settings.tr_solver == TRSolver.GLTR
             newton = compute_newton_step(
                 data,
                 it,
@@ -448,6 +452,7 @@ def perform_iteration(
                 hess_prod,
                 penalty,
                 settings.max_newton_iterations,
+                use_gltr=use_gltr,
             )
         from .types import Linesearch
 
