@@ -14,7 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..problem import Problem
@@ -95,7 +95,7 @@ def sharded_solve(
             jax.tree_util.tree_map(lambda _: P(axis_name), state0),
             P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     def run(shard_state):
         out = jax.vmap(
