@@ -43,9 +43,24 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AugJac:
-    """Factorized masked KKT system (one per working-set change)."""
+    """Factorized masked KKT system (one per working-set change).
 
-    chol: Array  # ((n+m), (n+m)) Cholesky factor of S (lower)
+    ``chol`` is a lower-triangular factor with chol @ chol.T = S.  Two
+    ways to compute it mirror the reference factorization variants
+    (pub_types.h:190-196 SLEQP_AUG_JAC_METHOD):
+
+    * REDUCED (default): Cholesky of S directly (reduced_aug_jac.c forms
+      the Gram matrix and factors the smaller system).
+    * DIRECT: QR of the stacked matrix M = [B; I - D] — since
+      M^T M = B^T B + (I - D) = S, the triangular R satisfies
+      R^T R = S with cond(R) = sqrt(cond(S)): the numerically robust
+      route of direct_aug_jac.c/fact_qr.c, at ~2x the factorization cost.
+
+    Both produce the same lower factor interface, so every solve below is
+    method-agnostic.
+    """
+
+    chol: Array  # ((n+m), (n+m)) lower factor of S
     B: Array  # (n, n+m) = A^T D
     active: Array  # (n+m,) float mask of working set
 
@@ -55,6 +70,7 @@ def aug_jac_create(
     var_states: Array,
     cons_states: Array,
     reg: float = 0.0,
+    method: str = "reduced",
 ) -> AugJac:
     """Assemble and factorize (reference: standard_aug_jac.c:34-101 + fact).
 
@@ -70,6 +86,10 @@ def aug_jac_create(
     B = jnp.concatenate(
         [jnp.diag(active[:n]), cons_jac.T * active[n:][None, :]], axis=1
     )
+    if method == "direct":
+        M = jnp.concatenate([B, jnp.diag(1.0 - active)], axis=0)
+        R = jnp.linalg.qr(M, mode="r")  # (n+m, n+m) upper, R^T R = S
+        return AugJac(chol=R.T, B=B, active=active)
     S = jnp.diag(1.0 - active) + B.T @ B
     if reg:
         S = S + reg * jnp.eye(n + m, dtype=dtype)

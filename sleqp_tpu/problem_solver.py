@@ -70,6 +70,16 @@ def _tree_where(pred, a, b):
     )
 
 
+def _aug_jac_method(settings: Settings) -> str:
+    """Map the AUG_JAC_METHOD setting to a factorization route
+    (trial_point.c:64-130 variant selection)."""
+    from .types import AugJacMethod
+
+    if settings.aug_jac_method == AugJacMethod.DIRECT:
+        return "direct"
+    return "reduced"
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SolverState:
@@ -102,6 +112,10 @@ class SolverState:
     error_bound: Array
     error_est: Array
     refresh_eval: Array  # bool: re-evaluate iterate at tightened bound
+    # per-step nonlinearity measures (reference measure.c:15-40)
+    last_model_reduction: Array
+    last_exact_reduction: Array
+    last_reduction_ratio: Array
 
 
 def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverState:
@@ -152,6 +166,9 @@ def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverStat
         ),
         error_est=jnp.asarray(0.0, dtype=dtype),
         refresh_eval=jnp.asarray(False),
+        last_model_reduction=zero_f,
+        last_exact_reduction=zero_f,
+        last_reduction_ratio=zero_f,
     )
 
 
@@ -295,7 +312,9 @@ def perform_iteration(
     it = dataclasses.replace(
         it, var_states=cres.var_states, cons_states=cres.cons_states
     )
-    aug_jac = aug_jac_create(it.cons_jac, it.var_states, it.cons_states)
+    aug_jac = aug_jac_create(
+        it.cons_jac, it.var_states, it.cons_states, method=_aug_jac_method(settings)
+    )
     _, lam = solve_lsq(aug_jac, -it.obj_grad)
     it = dataclasses.replace(
         it,
@@ -391,7 +410,9 @@ def perform_iteration(
         it = dataclasses.replace(
             it, var_states=cres.var_states, cons_states=cres.cons_states
         )
-        aug_jac = aug_jac_create(it.cons_jac, it.var_states, it.cons_states)
+        aug_jac = aug_jac_create(
+        it.cons_jac, it.var_states, it.cons_states, method=_aug_jac_method(settings)
+    )
         ws = compute_working_step(
             data, it, aug_jac, state.trust_radius, settings.eps
         )
@@ -662,6 +683,9 @@ def perform_iteration(
         error_bound=error_bound_next,
         error_est=jnp.where(final_accept, trial_err, iterate_err),
         refresh_eval=refresh_next,
+        last_model_reduction=merit_val - model_trial,
+        last_exact_reduction=merit_val - exact_trial,
+        last_reduction_ratio=ratio,
     )
 
     # ---- early termination: keep the (duals-updated) iterate ----------

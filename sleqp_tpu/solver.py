@@ -303,6 +303,14 @@ class Solver:
             int(StepType.ACCEPTED_SOC): "soc",
             int(StepType.REJECTED): "rejected",
         }
+        if logger.isEnabledFor(logging.DEBUG):
+            # per-step nonlinearity measures (reference measure.c:15-40)
+            logger.debug(
+                "model reduction %.6e, exact reduction %.6e, ratio %.3e",
+                float(state.last_model_reduction),
+                float(state.last_exact_reduction),
+                float(state.last_reduction_ratio),
+            )
         logger.info(
             "%6d %14.6e %14.6e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e %9s",
             int(state.iteration),

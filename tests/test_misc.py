@@ -1,0 +1,53 @@
+"""Misc solver behaviors: unbounded detection, batched solves, settings.
+
+Mirrors reference unbounded_test.c, thread_test.c (vmap analogue).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleqp_tpu import Func, Problem, Settings, Status
+from sleqp_tpu.parallel.batch import batched_solve
+from sleqp_tpu.problem_solver import solve
+
+from fixtures import hs71_problem, rosenbrock_problem
+
+
+def test_unbounded_detection():
+    """min -x with x free: objective dives below obj_lower."""
+    func = Func(lambda x: -x[0], num_variables=1)
+    problem = Problem(func)
+    settings = Settings(obj_lower=-1e8)
+    state = solve(problem, settings, jnp.zeros(1), max_iterations=2000)
+    assert int(state.status) == Status.UNBOUNDED
+
+
+def test_batched_independent_solves():
+    """vmap analogue of the reference pthread test (thread_test.c:13-110):
+    independent instances solved in one compiled program."""
+    problem, x0, x_opt = hs71_problem()
+    rng = np.random.default_rng(0)
+    batch = 8
+    x0b = jnp.clip(
+        jnp.asarray(x0)[None, :]
+        + jnp.asarray(rng.uniform(-0.1, 0.1, (batch, 4))),
+        1.0,
+        5.0,
+    )
+    states = batched_solve(problem, Settings(), x0b, max_iterations=100)
+    assert np.all(np.asarray(states.status) == Status.OPTIMAL)
+    for b in range(batch):
+        np.testing.assert_allclose(
+            np.asarray(states.it.x[b]), x_opt, atol=1e-4
+        )
+
+
+def test_batched_mixed_difficulty():
+    """Instances terminating at different iterations coexist in a batch."""
+    problem, x0, _ = rosenbrock_problem()
+    x0b = jnp.asarray([[0.0, 0.0], [0.9, 0.8], [-1.0, 1.0], [1.0, 1.0]])
+    states = batched_solve(problem, Settings(), x0b, max_iterations=200)
+    assert np.all(np.asarray(states.status) == Status.OPTIMAL)
+    iters = np.asarray(states.iteration)
+    assert iters[3] < iters[0]  # started at the optimum vs far away

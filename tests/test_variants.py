@@ -75,3 +75,13 @@ def test_parametric_cauchy(mode, make):
         f"{make.__name__}/{mode}: {Status(int(state.status)).name}"
     )
     np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
+
+
+def test_direct_aug_jac_method():
+    from sleqp_tpu.types import AugJacMethod
+
+    problem, x0, x_opt = hs71_problem()
+    settings = Settings(aug_jac_method=AugJacMethod.DIRECT)
+    state = solve(problem, settings, x0, max_iterations=200)
+    assert int(state.status) == Status.OPTIMAL
+    np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
