@@ -128,37 +128,54 @@ def _objective(
     return jnp.concatenate([g, pen, jnp.zeros((m,), dtype=dtype)])
 
 
-def _cold_basis(lb: Array, ub: Array, n: int, m: int):
-    """Slack basis at d = 0 (standard_cauchy.c:71-133 semantics).
+def _crash_from_d_statuses(
+    A: Array, lb: Array, ub: Array, d_status: Array, n: int, m: int
+):
+    """Slack-repair basis preserving the d-column active-set estimate.
 
-    d columns rest nonbasic at 0 (status ZERO; 0 is always inside the
-    d bounds since x is in the box), s columns at their lower bound 0,
-    and per row: w basic at 0 when 0 fits the row bounds, otherwise w
-    rests at the violated (finite) bound and the matching penalty slack
-    is basic, absorbing the violation.
+    Nonbasic d columns rest at their (new) bounds per the saved statuses;
+    previously-basic d columns rest at ZERO.  Rows re-slack by the sign of
+    the resulting activity (the reference slack-basis construction,
+    standard_cauchy.c:71-133, generalized to a warm d pattern).  The
+    basis stays diagonal and primal feasible by construction.
     """
+    # sanitize d statuses against the new bounds
+    d_status = jnp.where(
+        (d_status == BaseStat.LOWER) & (lb[:n] <= -INF_THRESHOLD),
+        BaseStat.ZERO,
+        d_status,
+    )
+    d_status = jnp.where(
+        (d_status == BaseStat.UPPER) & (ub[:n] >= INF_THRESHOLD),
+        BaseStat.ZERO,
+        d_status,
+    )
+    d_status = jnp.where(
+        d_status == BaseStat.BASIC, BaseStat.ZERO, d_status
+    ).astype(jnp.int8)
+
+    d_rest = jnp.where(d_status == BaseStat.LOWER, lb[:n], 0.0)
+    d_rest = jnp.where(d_status == BaseStat.UPPER, ub[:n], d_rest)
+
+    activity = A[:, :n] @ d_rest  # J d_rest
     w_lb = lb[n + 2 * m :]
     w_ub = ub[n + 2 * m :]
-    below = w_lb > 0.0  # row violated from below: need w >= w_lb > 0
-    above = w_ub < 0.0  # row violated from above
+    below = activity < w_lb  # need s+ basic: s+ = w_lb - activity > 0
+    above = activity > w_ub  # need s- basic
 
     rows = jnp.arange(m, dtype=jnp.int32)
     basis = jnp.where(
         below,
-        n + rows,  # s+ basic
-        jnp.where(above, n + m + rows, n + 2 * m + rows),  # s- or w basic
+        n + rows,
+        jnp.where(above, n + m + rows, n + 2 * m + rows),
     )
-
-    d_status = jnp.where(
-        lb[:n] == ub[:n], BaseStat.LOWER, BaseStat.ZERO
-    ).astype(jnp.int8)
+    sp_status = jnp.where(below, BaseStat.BASIC, BaseStat.LOWER).astype(jnp.int8)
+    sm_status = jnp.where(above, BaseStat.BASIC, BaseStat.LOWER).astype(jnp.int8)
     w_status = jnp.where(
         below,
         BaseStat.LOWER,
         jnp.where(above, BaseStat.UPPER, BaseStat.BASIC),
     ).astype(jnp.int8)
-    sp_status = jnp.where(below, BaseStat.BASIC, BaseStat.LOWER).astype(jnp.int8)
-    sm_status = jnp.where(above, BaseStat.BASIC, BaseStat.LOWER).astype(jnp.int8)
     status = jnp.concatenate([d_status, sp_status, sm_status, w_status])
     return basis, status
 
@@ -172,16 +189,22 @@ def _try_warm_basis(
     m: int,
     feas_tol: float = 1e-9,
 ):
-    """Validate a saved basis; fall back to a repaired/cold basis.
+    """Validate a saved basis; repair instead of discarding on failure.
 
     The reference delegates this to the LP backend's internal warm-start
     logic; here we check primal feasibility of the basic solution under
-    the *new* LP data and re-slack if it fails.
+    the *new* LP data.  On failure the d-column statuses (the active-set
+    estimate) are kept and only the row block re-slacks — far fewer
+    pivots than a cold slack basis.
     """
-    cold_basis, cold_status = _cold_basis(lb, ub, n, m)
 
-    def use_cold(_):
-        return cold_basis, cold_status
+    def repaired(_):
+        d_status = jnp.where(
+            saved.valid,
+            saved.status[:n],
+            jnp.full((n,), BaseStat.ZERO, dtype=jnp.int8),
+        )
+        return _crash_from_d_statuses(A, lb, ub, d_status, n, m)
 
     def try_warm(_):
         basis, status = saved.basis, saved.status
@@ -213,9 +236,9 @@ def _try_warm_basis(
         def pick_warm(_):
             return basis, status
 
-        return lax.cond(feasible, pick_warm, use_cold, None)
+        return lax.cond(feasible, pick_warm, repaired, None)
 
-    return lax.cond(saved.valid, try_warm, use_cold, None)
+    return lax.cond(saved.valid, try_warm, repaired, None)
 
 
 def solve_cauchy_lp(
