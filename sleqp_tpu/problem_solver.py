@@ -315,12 +315,26 @@ def perform_iteration(
     aug_jac = aug_jac_create(
         it.cons_jac, it.var_states, it.cons_states, method=_aug_jac_method(settings)
     )
+    # dual estimation (dual_estimation/*, selected by settings):
+    #   LSQ (default): least-squares duals from the KKT factorization with
+    #   wrong-sign clipping; LP: duals straight from the LP basis; MIXED:
+    #   LSQ, falling back to LP per vector when clipping occurred
+    #   (dual_estimation_mixed.c:105-135).
+    from .types import DualEstimationType
+
     _, lam = solve_lsq(aug_jac, -it.obj_grad)
-    it = dataclasses.replace(
-        it,
-        vars_dual=_trim_duals(lam[:n], it.var_states),
-        cons_dual=_trim_duals(lam[n:], it.cons_states),
-    )
+    vars_lsq = _trim_duals(lam[:n], it.var_states)
+    cons_lsq = _trim_duals(lam[n:], it.cons_states)
+    if settings.dual_estimation_type == DualEstimationType.LP:
+        vars_dual, cons_dual = cres.vars_dual, cres.cons_dual
+    elif settings.dual_estimation_type == DualEstimationType.MIXED:
+        vars_clipped = jnp.any(vars_lsq != lam[:n])
+        cons_clipped = jnp.any(cons_lsq != lam[n:])
+        vars_dual = jnp.where(vars_clipped, cres.vars_dual, vars_lsq)
+        cons_dual = jnp.where(cons_clipped, cres.cons_dual, cons_lsq)
+    else:
+        vars_dual, cons_dual = vars_lsq, cons_lsq
+    it = dataclasses.replace(it, vars_dual=vars_dual, cons_dual=cons_dual)
 
     feas_res, slack_res, stat_res = kkt_residuals(data, it)
     optimal = (

@@ -85,3 +85,14 @@ def test_direct_aug_jac_method():
     state = solve(problem, settings, x0, max_iterations=200)
     assert int(state.status) == Status.OPTIMAL
     np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
+
+
+@pytest.mark.parametrize("est", ["LP", "MIXED"])
+def test_dual_estimation_types(est):
+    from sleqp_tpu.types import DualEstimationType
+
+    problem, x0, x_opt = hs71_problem()
+    settings = Settings(dual_estimation_type=DualEstimationType[est])
+    state = solve(problem, settings, x0, max_iterations=200)
+    assert int(state.status) == Status.OPTIMAL
+    np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
