@@ -151,6 +151,42 @@ def _discover_devices(timeout_s: int = 180):
     return devices
 
 
+def _kkt_diagnostics(device) -> None:
+    """Structured-KKT component benchmark (BASELINE config 3), stderr only:
+    block-tridiagonal factor+solve at n ~ 10k on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from sleqp_tpu.ops.block_tridiag import block_tridiag_solve
+
+    try:
+        with jax.default_device(device):
+            rng = np.random.default_rng(0)
+            N, k = 160, 64  # n = N*k = 10240
+            M = rng.standard_normal((N, k, k)) * 0.2
+            D = jnp.asarray(
+                np.einsum("nij,nkj->nik", M, M) + (2 * k) * np.eye(k)
+            )
+            L = jnp.asarray(rng.standard_normal((N - 1, k, k)) * 0.1)
+            b = jnp.asarray(rng.standard_normal((N, k)))
+            fn = jax.jit(block_tridiag_solve)
+            jax.block_until_ready(fn(D, L, b))
+            t0 = time.perf_counter()
+            reps = 5
+            for _ in range(reps):
+                jax.block_until_ready(fn(D, L, b))
+            dt = (time.perf_counter() - t0) / reps
+            # ~ (14/3) k^3 per block factor+solve
+            gflops = (14.0 / 3.0) * N * k**3 / dt / 1e9
+            print(
+                f"# kkt block-tridiag n={N * k}: {1e3 * dt:.2f} ms/solve, "
+                f"{gflops:.1f} GFLOP/s on {device}",
+                file=sys.stderr,
+            )
+    except Exception as exc:
+        print(f"# kkt diagnostics failed: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     import jax
 
@@ -164,6 +200,7 @@ def main() -> None:
         cpu_devices = []
 
     if accel_devices:
+        _kkt_diagnostics(accel_devices[0])
         ((dt, iters, solved), mode) = _run_on(accel_devices[0])
         value = iters / dt
         # host-CPU baseline of the same workload

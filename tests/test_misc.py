@@ -51,3 +51,32 @@ def test_batched_mixed_difficulty():
     assert np.all(np.asarray(states.status) == Status.OPTIMAL)
     iters = np.asarray(states.iteration)
     assert iters[3] < iters[0]  # started at the optimum vs far away
+
+
+def test_float32_solve():
+    """f32 fast path with relaxed tolerances (native TPU precision)."""
+    def obj(x):
+        return x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2]
+
+    def cons(x):
+        return jnp.array([x[0] * x[1] * x[2] * x[3], jnp.vdot(x, x)])
+
+    func = Func(obj, num_variables=4, cons=cons, num_cons=2)
+    problem = Problem(
+        func,
+        var_lb=1.0,
+        var_ub=5.0,
+        general_lb=jnp.array([25.0, 40.0]),
+        general_ub=jnp.array([jnp.inf, 40.0]),
+        dtype=jnp.float32,
+    )
+    settings = Settings(
+        feas_tol=1e-4, slack_tol=1e-4, stat_tol=1e-4, eps=1e-6, zero_eps=1e-12
+    )
+    x0 = jnp.array([1.0, 5.0, 5.0, 1.0], dtype=jnp.float32)
+    state = solve(problem, settings, x0, max_iterations=100)
+    assert int(state.status) == Status.OPTIMAL
+    assert state.it.x.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(state.it.x), [1.0, 4.743, 3.82115, 1.37941], atol=1e-3
+    )
