@@ -1,30 +1,34 @@
 """Augmented-Jacobian (KKT) solves over a masked working set.
 
 TPU-native equivalent of the reference aug_jac layer
-(src/main/aug_jac/standard_aug_jac.c, reduced_aug_jac.c): systems with the
-augmented matrix ``[I A_W^T; A_W 0]`` where ``A_W`` selects working-set rows
-of ``A = [I_n; J]`` (variable bounds first, then constraints).
+(src/main/aug_jac/standard_aug_jac.c, reduced_aug_jac.c, direct_aug_jac.c):
+systems with the augmented matrix ``[I A_W^T; A_W 0]`` where ``A_W``
+selects working-set rows of ``A = [I_n; J]`` (variable bounds first, then
+constraints).
 
-Design: instead of assembling a variable-size sparse system per working set
-(impossible under jit), we solve the *fixed-shape* masked normal equations.
-With ``B = A^T D`` (n x (n+m), D = diag(active mask)) and
-``C = I - D``:
+Key structure (this is where the reference's sparse factorizations are
+replaced by algebra): with Dv/Dc the active-variable/constraint masks, the
+masked Gram matrix S = (I - D) + D A A^T D has an *identity* variable
+block, so eliminating it leaves the m x m constraint Schur complement
 
-    S = C + B^T B          ((n+m) x (n+m), symmetric positive definite
-                            whenever A_W has independent rows; inactive
-                            rows contribute identity)
+    Sc = (I - Dc) + Dc J (I - Dv) J^T Dc
 
-One Cholesky factorization of S per working-set change serves all three
-query types (mirroring the reference vtable, aug_jac/aug_jac_types.h:27-35):
+One m x m factorization per working-set change serves all three query
+types (mirroring the reference vtable, aug_jac/aug_jac_types.h:27-35):
 
   * solve_min_norm(rhs): min ||x|| s.t. A_W x = rhs_W
   * solve_lsq(g):        lambda minimizing ||A_W^T lambda - g||
   * project_nullspace(v): projection of v onto null(A_W)
 
-This is the analogue of the reference's REDUCED method
-(reduced_aug_jac.c:19-21: form J^T J and factor the smaller system); the
-dense Cholesky maps straight onto the MXU.  A blocked/sparse Pallas
-factorization replaces `cho_factor` for large structured problems.
+Every solve is O(n m) products + one m x m triangular solve — the whole
+SQP iteration scales as O(n m + m^3) in the KKT component, the dense
+analogue of the reference's sparse-factorization scaling.
+
+Factorization methods (pub_types.h:190-196 SLEQP_AUG_JAC_METHOD):
+  * "reduced" (default): Cholesky of Sc.
+  * "direct": QR of M = [(I-Dv) J^T Dc; I-Dc] with M^T M = Sc —
+    half the condition number, ~2x the factorization cost
+    (direct_aug_jac.c / fact_qr.c).
 """
 
 from __future__ import annotations
@@ -43,26 +47,12 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AugJac:
-    """Factorized masked KKT system (one per working-set change).
+    """Factorized masked KKT system (one per working-set change)."""
 
-    ``chol`` is a lower-triangular factor with chol @ chol.T = S.  Two
-    ways to compute it mirror the reference factorization variants
-    (pub_types.h:190-196 SLEQP_AUG_JAC_METHOD):
-
-    * REDUCED (default): Cholesky of S directly (reduced_aug_jac.c forms
-      the Gram matrix and factors the smaller system).
-    * DIRECT: QR of the stacked matrix M = [B; I - D] — since
-      M^T M = B^T B + (I - D) = S, the triangular R satisfies
-      R^T R = S with cond(R) = sqrt(cond(S)): the numerically robust
-      route of direct_aug_jac.c/fact_qr.c, at ~2x the factorization cost.
-
-    Both produce the same lower factor interface, so every solve below is
-    method-agnostic.
-    """
-
-    chol: Array  # ((n+m), (n+m)) lower factor of S
-    B: Array  # (n, n+m) = A^T D
-    active: Array  # (n+m,) float mask of working set
+    chol: Array  # (m, m) lower factor of Sc
+    cons_jac: Array  # (m, n) J
+    active_var: Array  # (n,) Dv diagonal (float 0/1)
+    active_cons: Array  # (m,) Dc diagonal
 
 
 def aug_jac_create(
@@ -74,27 +64,44 @@ def aug_jac_create(
 ) -> AugJac:
     """Assemble and factorize (reference: standard_aug_jac.c:34-101 + fact).
 
-    ``reg`` adds a tiny multiple of the identity to S, guarding against a
+    ``reg`` adds a tiny multiple of the identity to Sc, guarding against a
     rank-deficient working set (the reference would fail factorization).
     """
     m, n = cons_jac.shape
     dtype = cons_jac.dtype
-    active = (
-        jnp.concatenate([var_states, cons_states]) != ActiveState.INACTIVE
-    ).astype(dtype)
-    # A = [I_n; J]; B = A^T D computed without materializing A.
-    B = jnp.concatenate(
-        [jnp.diag(active[:n]), cons_jac.T * active[n:][None, :]], axis=1
-    )
+    dv = (var_states != ActiveState.INACTIVE).astype(dtype)
+    dc = (cons_states != ActiveState.INACTIVE).astype(dtype)
+
+    JF = cons_jac * (1.0 - dv)[None, :]  # J (I - Dv): free-variable columns
     if method == "direct":
-        M = jnp.concatenate([B, jnp.diag(1.0 - active)], axis=0)
-        R = jnp.linalg.qr(M, mode="r")  # (n+m, n+m) upper, R^T R = S
-        return AugJac(chol=R.T, B=B, active=active)
-    S = jnp.diag(1.0 - active) + B.T @ B
-    if reg:
-        S = S + reg * jnp.eye(n + m, dtype=dtype)
-    chol = cho_factor(S, lower=True)[0]
-    return AugJac(chol=chol, B=B, active=active)
+        M = jnp.concatenate(
+            [JF.T * dc[None, :], jnp.diag(1.0 - dc)], axis=0
+        )  # ((n+m), m), M^T M = Sc
+        R = jnp.linalg.qr(M, mode="r")
+        chol = R.T
+    else:
+        Sc = jnp.diag(1.0 - dc) + dc[:, None] * (JF @ cons_jac.T) * dc[None, :]
+        if reg:
+            Sc = Sc + reg * jnp.eye(m, dtype=dtype)
+        chol = cho_factor(Sc, lower=True)[0]
+    return AugJac(chol=chol, cons_jac=cons_jac, active_var=dv, active_cons=dc)
+
+
+def _solve_S(aj: AugJac, rv: Array, rc: Array):
+    """Solve S lam = (rv, rc) via the constraint Schur complement.
+
+    lam_c = Sc^{-1} (rc - Dc J Dv rv);  lam_v = rv - Dv J^T Dc lam_c.
+    """
+    dv, dc = aj.active_var, aj.active_cons
+    rhs_c = rc - dc * (aj.cons_jac @ (dv * rv))
+    lam_c = cho_solve((aj.chol, True), rhs_c)
+    lam_v = rv - dv * (aj.cons_jac.T @ (dc * lam_c))
+    return lam_v, lam_c
+
+
+def _B_apply(aj: AugJac, lam_v: Array, lam_c: Array) -> Array:
+    """x = B lam = A^T D lam = Dv lam_v + J^T (Dc lam_c)."""
+    return aj.active_var * lam_v + aj.cons_jac.T @ (aj.active_cons * lam_c)
 
 
 def solve_min_norm(aj: AugJac, rhs: Array) -> Array:
@@ -103,8 +110,11 @@ def solve_min_norm(aj: AugJac, rhs: Array) -> Array:
     Inactive entries of rhs are ignored (masked).  Reference:
     aug_jac_solve_min_norm (used by working_step.c:452, soc.c).
     """
-    lam = cho_solve((aj.chol, True), -(aj.active * rhs))
-    return -(aj.B @ lam)
+    n = aj.cons_jac.shape[1]
+    rv = -(aj.active_var * rhs[:n])
+    rc = -(aj.active_cons * rhs[n:])
+    lam_v, lam_c = _solve_S(aj, rv, rc)
+    return -_B_apply(aj, lam_v, lam_c)
 
 
 def solve_lsq(aj: AugJac, g: Array):
@@ -114,8 +124,12 @@ def solve_lsq(aj: AugJac, g: Array):
     onto null(A_W).  Reference: aug_jac_solve_lsq
     (dual_estimation_lsq.c:19-30) and project_nullspace share this solve.
     """
-    lam = cho_solve((aj.chol, True), aj.B.T @ g)
-    x = g - aj.B @ lam
+    # B^T g = D A g = (Dv g, Dc J g)
+    rv = aj.active_var * g
+    rc = aj.active_cons * (aj.cons_jac @ g)
+    lam_v, lam_c = _solve_S(aj, rv, rc)
+    x = g - _B_apply(aj, lam_v, lam_c)
+    lam = jnp.concatenate([lam_v, lam_c])
     return x, lam
 
 
