@@ -184,6 +184,7 @@ def _try_warm_basis(
     A: Array,
     lb: Array,
     ub: Array,
+    objective: Array,
     saved: CauchyBasis,
     n: int,
     m: int,
@@ -199,11 +200,15 @@ def _try_warm_basis(
     """
 
     def repaired(_):
-        d_status = jnp.where(
-            saved.valid,
-            saved.status[:n],
-            jnp.full((n,), BaseStat.ZERO, dtype=jnp.int8),
-        )
+        # cold start: rest each d at the bound its objective coefficient
+        # pushes toward (the LP optimum for the unconstrained part) —
+        # avoids O(n) bound-flip pivots on large problems
+        grad_status = jnp.where(
+            objective[:n] > 0.0,
+            BaseStat.LOWER,
+            jnp.where(objective[:n] < 0.0, BaseStat.UPPER, BaseStat.ZERO),
+        ).astype(jnp.int8)
+        d_status = jnp.where(saved.valid, saved.status[:n], grad_status)
         return _crash_from_d_statuses(A, lb, ub, d_status, n, m)
 
     def try_warm(_):
@@ -255,7 +260,7 @@ def solve_cauchy_lp(
     m, n = it.cons_jac.shape
     A, lb, ub = _lp_data(data, it, trust_radius)
     c = _objective(it, penalty, feasibility_mode)
-    basis0, status0 = _try_warm_basis(A, lb, ub, saved_basis, n, m)
+    basis0, status0 = _try_warm_basis(A, lb, ub, c, saved_basis, n, m)
 
     if max_iterations < 0:
         max_iterations = 20 * (n + 3 * m) + 200

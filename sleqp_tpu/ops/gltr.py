@@ -43,6 +43,7 @@ def _tridiag_tr_solve(
     gamma0: Array,  # ||P g||
     radius: Array,
     k: Array,  # current active dimension (1..K)
+    lam_warm: Array | None = None,  # warm-start multiplier from last call
     newton_iters: int = 25,
 ):
     """More-Sorensen on the (padded) tridiagonal; returns (h, lam, interior)."""
@@ -102,9 +103,13 @@ def _tridiag_tr_solve(
 
     # Gershgorin start is guaranteed PD; Newton may legitimately move
     # below it (the bound is conservative), failures bisect back up.
+    # A warm multiplier from the previous (one-smaller) tridiagonal is a
+    # much better start (trlib updates its factorization incrementally).
     lam_init = lam_lo + 1e-12
+    if lam_warm is not None:
+        lam_init = jnp.maximum(lam_warm, lam_init)
     lam, _ = lax.fori_loop(
-        0, newton_iters, newton_body, (lam_init, lam_init)
+        0, newton_iters, newton_body, (lam_init, lam_lo + 1e-12)
     )
     h_b, _, _ = solve_at(lam)
     # exact boundary scaling guard
@@ -116,6 +121,9 @@ def _tridiag_tr_solve(
     h = jnp.where(interior, h0, h_b)
     lam = jnp.where(interior, 0.0, lam)
     return h, lam, interior
+
+
+_MS_WARM_ITERS = 12  # Newton iterations when warm-started
 
 
 def gltr(
@@ -144,6 +152,7 @@ def gltr(
         alphas=jnp.ones((K,), dtype=dtype),
         betas=jnp.zeros((K,), dtype=dtype),
         h=jnp.zeros((K,), dtype=dtype),
+        lam=jnp.asarray(0.0, dtype=dtype),
         k=jnp.asarray(1, jnp.int32),
         done=trivial,
         interior=jnp.asarray(True),
@@ -169,9 +178,15 @@ def gltr(
         w = w - s["V"].T @ coeffs
         beta_next = jnp.linalg.norm(w)
 
-        # reduced TR solve with the updated tridiagonal
+        # reduced TR solve with the updated tridiagonal (warm-started)
         h, lam, interior = _tridiag_tr_solve(
-            alphas, s["betas"], gamma0, radius, s["k"]
+            alphas,
+            s["betas"],
+            gamma0,
+            radius,
+            s["k"],
+            lam_warm=s["lam"],
+            newton_iters=_MS_WARM_ITERS,
         )
 
         # GLTR convergence: Lanczos residual |beta_{k} * h_k|
@@ -198,6 +213,7 @@ def gltr(
             alphas=alphas,
             betas=betas,
             h=h,
+            lam=lam,
             k=k_next,
             done=converged | breakdown | (k_next > K),
             interior=interior,
