@@ -55,6 +55,15 @@ def main(argv=None) -> int:
         logging.basicConfig(level=logging.INFO, format="%(message)s")
         logging.getLogger("sleqp_tpu").setLevel(logging.INFO)
 
+    # honor an explicit JAX_PLATFORMS even when the environment's
+    # sitecustomize forced a different backend (e.g. a TPU tunnel)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from .settings import Settings, read_settings_file, read_settings_string
 
     settings = Settings()

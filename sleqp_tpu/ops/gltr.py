@@ -37,6 +37,64 @@ from .tr_cg import TRResult
 Array = jax.Array
 
 
+def _tridiag_ldl(diag: Array, off: Array, lam: Array):
+    """LDL^T of (T + lam I): d (K,), l (K-1,), pd flag — O(K) scan.
+
+    d_1 = a_1 + lam;  l_i = b_i / d_i;  d_{i+1} = a_{i+1} + lam - l_i b_i.
+    Padded rows (diag 1, off 0) decouple.
+    """
+
+    def step(d_prev, inp):
+        a_i, b_im1 = inp
+        safe = jnp.where(jnp.abs(d_prev) > 1e-300, d_prev, 1e-300)
+        l_i = b_im1 / safe
+        d_i = a_i + lam - l_i * b_im1
+        return d_i, (d_i, l_i)
+
+    d0 = diag[0] + lam
+    _, (ds, ls) = lax.scan(step, d0, (diag[1:], off))
+    d = jnp.concatenate([d0[None], ds])
+    pd = jnp.all(d > 0.0)
+    return d, ls, pd
+
+
+def _tridiag_solve(d: Array, l: Array, rhs: Array):
+    """Solve L D L^T h = rhs given the LDL factors — three O(K) scans.
+
+    Returns (h, wnorm2) with wnorm2 = ||(L sqrt(D))^{-1} h||^2 =
+    sum v_i^2 / d_i for v = L^{-1} h — the More-Sorensen Newton
+    denominator ||L_c^{-1} p||^2 with p the solution.
+    """
+
+    def fwd(u_prev, inp):
+        r_i, l_im1 = inp
+        u_i = r_i - l_im1 * u_prev
+        return u_i, u_i
+
+    u0 = rhs[0]
+    _, us = lax.scan(fwd, u0, (rhs[1:], l))
+    u = jnp.concatenate([u0[None], us])
+
+    safe_d = jnp.where(jnp.abs(d) > 1e-300, d, 1e-300)
+    z = u / safe_d
+
+    def bwd(h_next, inp):
+        z_i, l_i = inp
+        h_i = z_i - l_i * h_next
+        return h_i, h_i
+
+    hK = z[-1]
+    _, hs = lax.scan(bwd, hK, (z[:-1], l), reverse=True)
+    h = jnp.concatenate([hs, hK[None]])
+
+    # v = L^{-1} h for the MS denominator
+    v0 = h[0]
+    _, vs = lax.scan(fwd, v0, (h[1:], l))
+    v = jnp.concatenate([v0[None], vs])
+    wnorm2 = jnp.sum(v * v / safe_d)
+    return h, wnorm2
+
+
 def _tridiag_tr_solve(
     alphas: Array,  # (K,) diagonal (padded with 1.0)
     betas: Array,  # (K,) off-diagonal (padded with 0.0); betas[0] unused
@@ -46,20 +104,14 @@ def _tridiag_tr_solve(
     lam_warm: Array | None = None,  # warm-start multiplier from last call
     newton_iters: int = 25,
 ):
-    """More-Sorensen on the (padded) tridiagonal; returns (h, lam, interior)."""
+    """More-Sorensen on the (padded) tridiagonal via O(K) LDL^T scans."""
     K = alphas.shape[0]
     dtype = alphas.dtype
     idx = jnp.arange(K)
     active = idx < k
 
-    # padded T: inactive rows get diag 1, offdiag 0
     diag = jnp.where(active, alphas, 1.0)
     off = jnp.where(idx[1:] < k, betas[1:], 0.0)
-    T = (
-        jnp.diag(diag)
-        + jnp.diag(off, 1)
-        + jnp.diag(off, -1)
-    )
     rhs = jnp.zeros((K,), dtype=dtype).at[0].set(-gamma0)
 
     # Gershgorin lower bound on eigenvalues of the active block
@@ -74,11 +126,10 @@ def _tridiag_tr_solve(
     lam_lo = jnp.maximum(0.0, -jnp.min(gersh))
 
     def solve_at(lam):
-        L = jnp.linalg.cholesky(T + lam * jnp.eye(K, dtype=dtype))
-        ok = ~jnp.any(jnp.isnan(L))
-        L_safe = jnp.where(ok, L, jnp.eye(K, dtype=dtype))
-        h = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
-        return h, L_safe, ok
+        d, l, pd = _tridiag_ldl(diag, off, lam)
+        h, wnorm2 = _tridiag_solve(d, l, rhs)
+        h = jnp.where(pd, h, 0.0)
+        return h, wnorm2, pd
 
     # interior test at lam = 0
     h0, _, pd0 = solve_at(jnp.asarray(0.0, dtype))
@@ -87,16 +138,13 @@ def _tridiag_tr_solve(
 
     def newton_body(i, s):
         lam, last_ok = s
-        h, L, ok = solve_at(lam)
+        h, wnorm2, ok = solve_at(lam)
         norm = jnp.maximum(jnp.linalg.norm(h), 1e-300)
-        # Newton step on 1/norm - 1/radius (More-Sorensen):
-        # w = L^-1 h;  dlam = (norm/||w||)^2 * (norm - radius)/radius
-        w = jax.scipy.linalg.solve_triangular(L, h, lower=True)
-        wnorm2 = jnp.maximum(jnp.vdot(w, w), 1e-300)
+        # Newton step on 1/norm - 1/radius (More-Sorensen)
+        wnorm2 = jnp.maximum(wnorm2, 1e-300)
         dlam = (norm * norm / wnorm2) * (norm - radius) / radius
         cand = jnp.maximum(lam + dlam, 0.0)
-        # Cholesky failure => lam dipped below -lambda_min: bisect back
-        # toward the last PD value
+        # factorization failure => lam below -lambda_min: bisect back
         lam_next = jnp.where(ok, cand, 0.5 * (lam + last_ok))
         last_ok_next = jnp.where(ok, lam, last_ok)
         return (lam_next, last_ok_next)

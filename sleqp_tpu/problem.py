@@ -82,7 +82,10 @@ class Func:
         if cons_jac is not None:
             self._cons_jac = cons_jac
         elif cons is not None:
-            self._cons_jac = jax.jacfwd(cons)
+            # mode choice: m reverse passes vs n forward passes
+            self._cons_jac = (
+                jax.jacrev(cons) if num_cons < num_variables else jax.jacfwd(cons)
+            )
         else:
             self._cons_jac = None
         self._hess_prod = hess_prod
