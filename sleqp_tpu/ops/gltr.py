@@ -43,10 +43,11 @@ def _tridiag_ldl(diag: Array, off: Array, lam: Array):
     d_1 = a_1 + lam;  l_i = b_i / d_i;  d_{i+1} = a_{i+1} + lam - l_i b_i.
     Padded rows (diag 1, off 0) decouple.
     """
+    dtype = diag.dtype
 
     def step(d_prev, inp):
         a_i, b_im1 = inp
-        safe = jnp.where(jnp.abs(d_prev) > 1e-300, d_prev, 1e-300)
+        safe = jnp.where(jnp.abs(d_prev) > jnp.finfo(dtype).tiny, d_prev, jnp.finfo(dtype).tiny)
         l_i = b_im1 / safe
         d_i = a_i + lam - l_i * b_im1
         return d_i, (d_i, l_i)
@@ -65,6 +66,7 @@ def _tridiag_solve(d: Array, l: Array, rhs: Array):
     sum v_i^2 / d_i for v = L^{-1} h — the More-Sorensen Newton
     denominator ||L_c^{-1} p||^2 with p the solution.
     """
+    dtype = d.dtype
 
     def fwd(u_prev, inp):
         r_i, l_im1 = inp
@@ -75,7 +77,7 @@ def _tridiag_solve(d: Array, l: Array, rhs: Array):
     _, us = lax.scan(fwd, u0, (rhs[1:], l))
     u = jnp.concatenate([u0[None], us])
 
-    safe_d = jnp.where(jnp.abs(d) > 1e-300, d, 1e-300)
+    safe_d = jnp.where(jnp.abs(d) > jnp.finfo(dtype).tiny, d, jnp.finfo(dtype).tiny)
     z = u / safe_d
 
     def bwd(h_next, inp):
@@ -139,9 +141,9 @@ def _tridiag_tr_solve(
     def newton_body(i, s):
         lam, last_ok = s
         h, wnorm2, ok = solve_at(lam)
-        norm = jnp.maximum(jnp.linalg.norm(h), 1e-300)
+        norm = jnp.maximum(jnp.linalg.norm(h), jnp.finfo(dtype).tiny)
         # Newton step on 1/norm - 1/radius (More-Sorensen)
-        wnorm2 = jnp.maximum(wnorm2, 1e-300)
+        wnorm2 = jnp.maximum(wnorm2, jnp.finfo(dtype).tiny)
         dlam = (norm * norm / wnorm2) * (norm - radius) / radius
         cand = jnp.maximum(lam + dlam, 0.0)
         # factorization failure => lam below -lambda_min: bisect back
@@ -163,7 +165,7 @@ def _tridiag_tr_solve(
     # exact boundary scaling guard
     norm_b = jnp.linalg.norm(h_b)
     h_b = h_b * jnp.where(
-        norm_b > radius, radius / jnp.maximum(norm_b, 1e-300), 1.0
+        norm_b > radius, radius / jnp.maximum(norm_b, jnp.finfo(dtype).tiny), 1.0
     )
 
     h = jnp.where(interior, h0, h_b)
@@ -190,8 +192,9 @@ def gltr(
 
     p0 = project_nullspace(aug_jac, gradient)
     gamma0 = jnp.linalg.norm(p0)
-    tol = rel_tol * jnp.maximum(gamma0, 1.0)
-    trivial = gamma0 <= 1e-300
+    eps = float(jnp.finfo(dtype).eps)
+    tol = max(rel_tol, 10.0 * eps) * jnp.maximum(gamma0, 1.0)
+    trivial = gamma0 <= jnp.finfo(dtype).tiny
 
     v1 = p0 / jnp.where(trivial, 1.0, gamma0)
 
@@ -240,7 +243,7 @@ def gltr(
         # GLTR convergence: Lanczos residual |beta_{k} * h_k|
         resid = beta_next * jnp.abs(h[j])
         converged = resid <= tol
-        breakdown = beta_next <= 1e-14 * jnp.maximum(gamma0, 1.0)
+        breakdown = beta_next <= 100.0 * eps * jnp.maximum(gamma0, 1.0)
 
         k_next = s["k"] + 1
         can_store = k_next <= K
@@ -274,7 +277,7 @@ def gltr(
     d = jnp.where(trivial, jnp.zeros_like(d), d)
     # final safeguard: never exceed the radius
     dn = jnp.linalg.norm(d)
-    d = d * jnp.where(dn > radius, radius / jnp.maximum(dn, 1e-300), 1.0)
+    d = d * jnp.where(dn > radius, radius / jnp.maximum(dn, jnp.finfo(dtype).tiny), 1.0)
 
     iters = final["k"] - 1
     zero_spectrum = iters == 0
