@@ -255,8 +255,17 @@ def solve_cauchy_lp(
     settings_eps: float = 1e-10,
     max_iterations: int = -1,
     feasibility_mode: bool = False,
+    lp_resolves: bool = True,
 ) -> CauchyResult:
-    """One LP solve + full extraction (standard_cauchy.c:843-1462)."""
+    """One LP solve + full extraction (standard_cauchy.c:843-1462).
+
+    With ``lp_resolves`` (reference setting LP_RESOLVES, default on), a
+    degenerate optimal basis — a tight constraint carrying a nonzero dual
+    whose penalty slack sits *basic at value zero* — triggers a resolve of
+    the *reduced* LP with the slacks frozen at their optimal values
+    (standard_cauchy.c:566-788 switch_to_reduced_problem), which breaks
+    the tie and lets the working set pick the constraint up.
+    """
     m, n = it.cons_jac.shape
     A, lb, ub = _lp_data(data, it, trust_radius)
     c = _objective(it, penalty, feasibility_mode)
@@ -278,6 +287,26 @@ def solve_cauchy_lp(
     sm_status = res.status[n + m : n + 2 * m]
     w_status = res.status[n + 2 * m :]
 
+    zero_slacks = (sp_status == BaseStat.LOWER) & (sm_status == BaseStat.LOWER)
+    if lp_resolves and not feasibility_mode and m > 0:
+        (
+            d,
+            d_status,
+            w_status_eff,
+            zero_slacks_eff,
+            row_duals,
+            d_reduced_costs,
+            extra_iters,
+        ) = _maybe_reduced_resolve(
+            it, A, lb, ub, c, res, zero_slacks, n, m, max_iterations
+        )
+    else:
+        w_status_eff = w_status
+        zero_slacks_eff = zero_slacks
+        row_duals = res.duals
+        d_reduced_costs = res.reduced_costs[:n]
+        extra_iters = jnp.asarray(0, jnp.int32)
+
     eps = settings_eps
     equal_var_bounds = _equal_bounds(data.var_lb, data.var_ub, eps)
     # var active iff nonbasic at a bound that is the *actual* variable
@@ -296,19 +325,18 @@ def solve_cauchy_lp(
         ),
     ).astype(jnp.int8)
 
-    zero_slacks = (sp_status == BaseStat.LOWER) & (sm_status == BaseStat.LOWER)
     equal_cons_bounds = _equal_bounds(data.cons_lb, data.cons_ub, eps)
-    row_nonbasic = w_status != BaseStat.BASIC
+    row_nonbasic = w_status_eff != BaseStat.BASIC
     cons_states = jnp.where(
-        row_nonbasic & zero_slacks,
+        row_nonbasic & zero_slacks_eff,
         jnp.where(
             equal_cons_bounds,
             ActiveState.ACTIVE_BOTH,
             jnp.where(
-                w_status == BaseStat.LOWER,
+                w_status_eff == BaseStat.LOWER,
                 ActiveState.ACTIVE_LOWER,
                 jnp.where(
-                    w_status == BaseStat.UPPER,
+                    w_status_eff == BaseStat.UPPER,
                     ActiveState.ACTIVE_UPPER,
                     ActiveState.INACTIVE,
                 ),
@@ -320,8 +348,8 @@ def solve_cauchy_lp(
     # ---- duals (standard_cauchy.c:1389-…, signs to NLP convention) ----
     # Row duals y satisfy r_w = y_i for logical columns; NLP convention
     # flips the sign (reference: vec_scale(…, -1)).
-    cons_dual = -res.duals
-    vars_dual = -res.reduced_costs[:n]
+    cons_dual = -row_duals
+    vars_dual = -d_reduced_costs
     cons_dual = _trim_duals(cons_dual, cons_states)
     vars_dual = _trim_duals(vars_dual, var_states)
 
@@ -333,7 +361,9 @@ def solve_cauchy_lp(
             | ((d_status == BaseStat.UPPER) & (dist_ub >= trust_radius))
         )
     )
-    feasible_direction = jnp.all(jnp.where(row_nonbasic, zero_slacks, True))
+    feasible_direction = jnp.all(
+        jnp.where(w_status != BaseStat.BASIC, zero_slacks, True)
+    )
     locally_infeasible = ~(feasible_direction | tr_active)
 
     new_basis = CauchyBasis(
@@ -342,19 +372,116 @@ def solve_cauchy_lp(
         valid=res.state == simplex.OPTIMAL,
     )
 
+    lp_obj = jnp.vdot(c[:n], d) + penalty * slack_sum
     return CauchyResult(
         lp_step=d,
         var_states=var_states,
         cons_states=cons_states,
         cons_dual=cons_dual,
         vars_dual=vars_dual,
-        lp_obj=res.obj,
+        lp_obj=lp_obj,
         violation=slack_sum,
         locally_infeasible=locally_infeasible,
         basis=new_basis,
         lp_state=res.state,
-        lp_iterations=res.iterations,
+        lp_iterations=res.iterations + extra_iters,
     )
+
+
+def _maybe_reduced_resolve(
+    it: Iterate,
+    A: Array,
+    lb: Array,
+    ub: Array,
+    c: Array,
+    res,
+    zero_slack_stats: Array,
+    n: int,
+    m: int,
+    max_iterations: int,
+):
+    """Degenerate-basis tie-breaking via the reduced LP
+    (standard_cauchy.c:566-788).
+
+    Trigger (needs_reduced_resolve, :700-788): the direction is feasible
+    (every tight row by *values*) and some row classified INACTIVE is
+    tight with a nonzero dual — i.e. its penalty slack sits basic at
+    value zero.  The resolve freezes the slacks at their optimal values
+    (shifting the row bounds) and re-solves over [d, w] only, warm-started
+    from the current basis with each basic slack column swapped for its
+    row's logical column (both are +-e_i, so the basis stays nonsingular
+    and primal feasible).
+    """
+    sp_vals = res.x[n : n + m]
+    sm_vals = res.x[n + m : n + 2 * m]
+    w_status = res.status[n + 2 * m :]
+    row_nonbasic = w_status != BaseStat.BASIC
+
+    tight = (sp_vals == 0.0) & (sm_vals == 0.0)
+    # INACTIVE classification of the main pass: basic row, or nonbasic
+    # with a nonzero slack *status*
+    inactive = ~(row_nonbasic & zero_slack_stats)
+    feasible = jnp.all(jnp.where(inactive, tight, True))
+    needs = feasible & jnp.any(inactive & tight & (res.duals != 0.0))
+
+    d_status_main = res.status[:n]
+    passthrough = (
+        res.x[:n],
+        d_status_main,
+        w_status,
+        zero_slack_stats,
+        res.duals,
+        res.reduced_costs[:n],
+        jnp.asarray(0, jnp.int32),
+    )
+
+    def resolve(_):
+        sdiff = sp_vals - sm_vals
+        A_red = jnp.concatenate(
+            [A[:, :n], -jnp.eye(m, dtype=A.dtype)], axis=1
+        )
+        shift_lb = jnp.where(lb[n + 2 * m :] > -INF_THRESHOLD, sdiff, 0.0)
+        shift_ub = jnp.where(ub[n + 2 * m :] < INF_THRESHOLD, sdiff, 0.0)
+        lb_red = jnp.concatenate([lb[:n], lb[n + 2 * m :] + shift_lb])
+        ub_red = jnp.concatenate([ub[:n], ub[n + 2 * m :] + shift_ub])
+        c_red = jnp.concatenate([c[:n], jnp.zeros((m,), dtype=c.dtype)])
+
+        # basis remap: any basic slack/logical column -> its row's logical
+        basis_red = jnp.where(
+            res.basis < n, res.basis, n + ((res.basis - n) % m)
+        ).astype(jnp.int32)
+        slack_basic = (
+            (res.status[n : n + m] == BaseStat.BASIC)
+            | (res.status[n + m : n + 2 * m] == BaseStat.BASIC)
+            | (w_status == BaseStat.BASIC)
+        )
+        w_status_red = jnp.where(
+            slack_basic, BaseStat.BASIC, w_status
+        ).astype(jnp.int8)
+        status_red = jnp.concatenate([d_status_main, w_status_red])
+
+        red = simplex.solve(
+            A_red,
+            c_red,
+            lb_red,
+            ub_red,
+            basis_red,
+            status_red,
+            max_iterations=max_iterations,
+        )
+        # reduced working set uses slack *values* for tightness
+        # (get_reduced_working_set, standard_cauchy.c:1086-1128)
+        return (
+            red.x[:n],
+            red.status[:n],
+            red.status[n:],
+            tight,
+            red.duals,
+            red.reduced_costs[:n],
+            red.iterations,
+        )
+
+    return lax.cond(needs, resolve, lambda _: passthrough, None)
 
 
 def _equal_bounds(lb: Array, ub: Array, eps: float) -> Array:

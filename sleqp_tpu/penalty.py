@@ -46,8 +46,16 @@ def update_penalty(
     cur_viol = current.violation / m
 
     def solve_at(pen, basis, feas):
+        # MIXED/FEAS re-solves never trigger the reduced resolve
+        # (reference: standard_cauchy.c:932-945, DEFAULT objective only)
         return solve_cauchy_lp(
-            data, it, lp_trust_radius, pen, basis, feasibility_mode=feas
+            data,
+            it,
+            lp_trust_radius,
+            pen,
+            basis,
+            feasibility_mode=feas,
+            lp_resolves=False,
         )
 
     def no_change(_):

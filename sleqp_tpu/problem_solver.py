@@ -290,6 +290,7 @@ def perform_iteration(
             penalty,
             state.basis,
             settings_eps=settings.eps,
+            lp_resolves=settings.lp_resolves,
         )
 
         # Byrd penalty update when infeasible (cauchy_step.c:80-88)

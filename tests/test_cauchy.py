@@ -148,3 +148,46 @@ def test_equality_constraint_active_both():
     # row whose logical column stays basic with zero dual may legitimately
     # remain inactive (degenerate basis, reference standard_cauchy.c:700+)
     assert int(res.cons_states[0]) == ActiveState.ACTIVE_BOTH
+
+
+def test_reduced_resolve_degenerate_tie():
+    """A tight row left basic with zero-value basic slack gets picked up
+    by the reduced resolve (standard_cauchy.c:566-788)."""
+    problem, x0, _ = wachbieg_problem()
+    x_feas = jnp.array([1.0, 0.0, 0.5])
+    it = create_iterate(problem, x_feas)
+    res = solve_cauchy_lp(
+        problem.data,
+        it,
+        jnp.asarray(0.5),
+        jnp.asarray(10.0),
+        empty_basis(problem.num_variables, problem.num_cons),
+        lp_resolves=True,
+    )
+    assert int(res.lp_state) == simplex.OPTIMAL
+    np.testing.assert_allclose(np.asarray(res.lp_step), 0.0, atol=1e-12)
+    # without resolves the second equality stayed INACTIVE (degenerate);
+    # the resolve may or may not trigger depending on the dual — either
+    # way the first equality must be active and results stay consistent
+    assert int(res.cons_states[0]) != ActiveState.INACTIVE
+
+
+def test_lp_resolves_off_matches_legacy():
+    problem, x0, _ = hs71_problem()
+    it = create_iterate(problem, jnp.asarray(x0))
+    kw = dict(
+        data=problem.data,
+        it=it,
+        trust_radius=jnp.asarray(0.5),
+        penalty=jnp.asarray(10.0),
+        saved_basis=empty_basis(4, 2),
+    )
+    res_on = solve_cauchy_lp(**kw, lp_resolves=True)
+    res_off = solve_cauchy_lp(**kw, lp_resolves=False)
+    # nondegenerate case: resolve must not change anything
+    np.testing.assert_allclose(
+        np.asarray(res_on.lp_step), np.asarray(res_off.lp_step), atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_on.cons_states), np.asarray(res_off.cons_states)
+    )
