@@ -71,9 +71,30 @@ class Func:
         cons_jac: Optional[Callable[[Array], Array]] = None,
         hess_prod: Optional[Callable[[Array, Array, Array], Array]] = None,
         psd_hessian: bool = False,
+        hess_struct: Optional[tuple] = None,
     ):
+        """``hess_struct``: optional tuple of (start, end) index ranges
+        declaring a block-diagonal Lagrangian Hessian (reference
+        SleqpHessStruct, pub_hess_struct.h:8-40).  Variables outside every
+        block form the *linear range* (zero Hessian rows).  Consumed by
+        the block-wise quasi-Newton approximations; AD Hessian products
+        are exact regardless.
+        """
         self.num_variables = int(num_variables)
         self.num_cons = int(num_cons)
+        if hess_struct is not None:
+            blocks = tuple((int(s), int(e)) for s, e in hess_struct)
+            prev = 0
+            for s, e in blocks:
+                if not (prev <= s < e <= num_variables):
+                    raise ValueError(
+                        f"invalid hess_struct block ({s}, {e}); blocks must "
+                        "be sorted, disjoint, and within the variable range"
+                    )
+                prev = e
+            self.hess_struct = blocks
+        else:
+            self.hess_struct = None
         self._obj = obj
         self._cons = cons
         if cons is None and num_cons > 0:

@@ -48,7 +48,14 @@ from .newton import compute_newton_step, compute_working_step, _working_set_rhs
 from .ops.kkt import aug_jac_create, solve_lsq, solve_min_norm
 from .penalty import global_penalty_reset, update_penalty
 from .problem import Problem
-from .quasi_newton import QNState, qn_init, qn_product, qn_push
+from .quasi_newton import (
+    QNPrev,
+    QNState,
+    qn_init,
+    qn_prev_init,
+    qn_product,
+    qn_push,
+)
 from .settings import Settings
 from .step_rule import StepRuleState, apply_step_rule, step_rule_init
 from .types import HessEval, Status, StepType
@@ -106,7 +113,8 @@ class SolverState:
     max_rayleigh: Array
     lp_iterations: Array  # total simplex pivots
     boundary_step: Array  # bool
-    qn: QNState  # quasi-Newton ring buffer (window 0 when hess_eval EXACT)
+    qn: object  # QN ring buffer(s): QNState or per-Hessian-block tuple
+    qn_prev: QNPrev  # previous-iterate data for the next pair push
     step_rule: StepRuleState  # nonmonotone step-rule state
     # dynamic (inexact) function state (dyn.py); inert otherwise
     error_bound: Array
@@ -154,12 +162,15 @@ def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverStat
         boundary_step=jnp.asarray(False),
         qn=qn_init(
             n,
-            m,
             settings.num_quasi_newton_iterates
             if settings.hess_eval != HessEval.EXACT
             else 0,
             dtype,
+            blocks=problem.func.hess_struct
+            if settings.hess_eval != HessEval.EXACT
+            else None,
         ),
+        qn_prev=qn_prev_init(n, m, dtype),
         step_rule=step_rule_init(settings.step_rule, dtype),
         error_bound=jnp.asarray(
             getattr(problem.func, "initial_error_bound", 0.0), dtype=dtype
@@ -356,21 +367,24 @@ def perform_iteration(
     # approximation; pairs push on accepted steps with the Lagrangian
     # gradient difference at the new multipliers (quasi_newton.c:140).
     qn = state.qn
+    qn_blocks = problem.func.hess_struct
     if settings.hess_eval != HessEval.EXACT:
 
         def push(q):
-            s_vec = it.x - q.prev_x
+            prev = state.qn_prev
+            s_vec = it.x - prev.x
             grad_new = it.obj_grad + it.cons_jac.T @ it.cons_dual
-            grad_old = q.prev_grad + q.prev_jac.T @ it.cons_dual
+            grad_old = prev.grad + prev.jac.T @ it.cons_dual
             return qn_push(
                 q,
                 s_vec,
                 grad_new - grad_old,
                 settings.hess_eval,
                 settings.bfgs_sizing != 0,
+                blocks=qn_blocks,
             )
 
-        qn = lax.cond(qn.pending, push, lambda q: q, qn)
+        qn = lax.cond(state.qn_prev.pending, push, lambda q: q, qn)
 
     # ---- working step + EQP multipliers -------------------------------
     ws = compute_working_step(
@@ -395,7 +409,7 @@ def perform_iteration(
     else:
 
         def hess_prod(d):
-            return qn_product(qn, d, settings.hess_eval)
+            return qn_product(qn, d, settings.hess_eval, blocks=qn_blocks)
 
     # ---- Cauchy direction + linesearch (or parametric sweep) ----------
     from .types import ParametricCauchy
@@ -663,15 +677,15 @@ def perform_iteration(
     # record the pre-step point for the next QN pair (pushed next
     # iteration once the new duals are available)
     if settings.hess_eval != HessEval.EXACT:
-        qn_next = dataclasses.replace(
-            qn,
-            prev_x=jnp.where(final_accept, it.x, qn.prev_x),
-            prev_grad=jnp.where(final_accept, it.obj_grad, qn.prev_grad),
-            prev_jac=jnp.where(final_accept, it.cons_jac, qn.prev_jac),
+        qn_prev_next = QNPrev(
+            x=jnp.where(final_accept, it.x, state.qn_prev.x),
+            grad=jnp.where(final_accept, it.obj_grad, state.qn_prev.grad),
+            jac=jnp.where(final_accept, it.cons_jac, state.qn_prev.jac),
             pending=final_accept,
         )
     else:
-        qn_next = qn
+        qn_prev_next = state.qn_prev
+    qn_next = qn
 
     running_state = SolverState(
         it=next_it,
@@ -697,6 +711,7 @@ def perform_iteration(
         lp_iterations=state.lp_iterations + cres.lp_iterations,
         boundary_step=boundary_step,
         qn=qn_next,
+        qn_prev=qn_prev_next,
         step_rule=sr_next,
         error_bound=error_bound_next,
         error_est=jnp.where(final_accept, trial_err, iterate_err),

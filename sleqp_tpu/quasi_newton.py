@@ -53,17 +53,35 @@ class QNState:
     sizing: Array  # (W,) per-term sizing factor
     scale: Array  # scalar initial scale
     count: Array  # int32 number of valid pairs
-    # previous-iterate data for the next push
-    prev_x: Array  # (n,)
-    prev_grad: Array  # (n,)
-    prev_jac: Array  # (m, n)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QNPrev:
+    """Previous-iterate data for the next pair push (global, not per
+    Hessian block)."""
+
+    x: Array  # (n,)
+    grad: Array  # (n,)
+    jac: Array  # (m, n)
     pending: Array  # bool: a pair should be pushed next iteration
 
 
-def qn_init(n: int, m: int, window: int, dtype) -> QNState:
+def qn_prev_init(n: int, m: int, dtype) -> QNPrev:
+    return QNPrev(
+        x=jnp.zeros((n,), dtype=dtype),
+        grad=jnp.zeros((n,), dtype=dtype),
+        jac=jnp.zeros((m, n), dtype=dtype),
+        pending=jnp.asarray(False),
+    )
+
+
+def qn_init(n: int, window: int, dtype, blocks: tuple | None = None):
+    """Ring-buffer state; with ``blocks`` a tuple of per-block states."""
+    if blocks is not None:
+        return tuple(qn_init(e - s, window, dtype) for s, e in blocks)
     W = window
     zeros_wn = jnp.zeros((W, n), dtype=dtype)
-    zeros_w = jnp.zeros((W,), dtype=dtype)
     return QNState(
         S=zeros_wn,
         Y=zeros_wn,
@@ -74,10 +92,6 @@ def qn_init(n: int, m: int, window: int, dtype) -> QNState:
         sizing=jnp.ones((W,), dtype=dtype),
         scale=jnp.asarray(1.0, dtype=dtype),
         count=jnp.asarray(0, jnp.int32),
-        prev_x=jnp.zeros((n,), dtype=dtype),
-        prev_grad=jnp.zeros((n,), dtype=dtype),
-        prev_jac=jnp.zeros((m, n), dtype=dtype),
-        pending=jnp.asarray(False),
     )
 
 
@@ -139,10 +153,6 @@ def bfgs_push(qn: QNState, s: Array, y: Array, damped: bool, sizing: bool) -> QN
         sizing=jnp.ones((W,), dtype=dtype),
         scale=scale,
         count=count,
-        prev_x=qn.prev_x,
-        prev_grad=qn.prev_grad,
-        prev_jac=qn.prev_jac,
-        pending=qn.pending,
     )
 
     ys_all = jnp.einsum("wn,wn->w", S, Y)  # (y^T s) per slot
@@ -256,7 +266,24 @@ def sr1_product_upto(qn: QNState, d: Array, upto: int, valid: Array) -> Array:
     return p
 
 
-def qn_product(qn: QNState, d: Array, hess_eval: HessEval) -> Array:
+def qn_product(
+    qn, d: Array, hess_eval: HessEval, blocks: tuple | None = None
+) -> Array:
+    """B d; with ``blocks`` (a Func.hess_struct), ``qn`` is a tuple of
+    per-block states and the product assembles block-wise — variables in
+    the linear range (outside every block) get zero curvature rows
+    (reference bfgs.c block handling via SleqpHessStruct)."""
+    if blocks is not None:
+        out = jnp.zeros_like(d)
+        for (start, end), q in zip(blocks, qn):
+            out = out.at[start:end].set(
+                _qn_product_one(q, d[start:end], hess_eval)
+            )
+        return out
+    return _qn_product_one(qn, d, hess_eval)
+
+
+def _qn_product_one(qn: QNState, d: Array, hess_eval: HessEval) -> Array:
     if hess_eval in (HessEval.SIMPLE_BFGS, HessEval.DAMPED_BFGS):
         return bfgs_product(qn, d)
     if hess_eval == HessEval.SR1:
@@ -264,7 +291,25 @@ def qn_product(qn: QNState, d: Array, hess_eval: HessEval) -> Array:
     raise ValueError(f"qn_product called with {hess_eval}")
 
 
-def qn_push(qn: QNState, s: Array, y: Array, hess_eval: HessEval, sizing: bool) -> QNState:
+def qn_push(
+    qn,
+    s: Array,
+    y: Array,
+    hess_eval: HessEval,
+    sizing: bool,
+    blocks: tuple | None = None,
+):
+    if blocks is not None:
+        return tuple(
+            _qn_push_one(q, s[start:end], y[start:end], hess_eval, sizing)
+            for (start, end), q in zip(blocks, qn)
+        )
+    return _qn_push_one(qn, s, y, hess_eval, sizing)
+
+
+def _qn_push_one(
+    qn: QNState, s: Array, y: Array, hess_eval: HessEval, sizing: bool
+) -> QNState:
     if hess_eval == HessEval.SIMPLE_BFGS:
         return bfgs_push(qn, s, y, damped=False, sizing=sizing)
     if hess_eval == HessEval.DAMPED_BFGS:

@@ -32,7 +32,7 @@ def test_bfgs_secant_property():
     """After pushing (s, y) with s'y > 0, B s == y (undamped case)."""
     rng = np.random.default_rng(0)
     n = 5
-    qn = qn_init(n, 0, 4, jnp.float64)
+    qn = qn_init(n, 4, jnp.float64)
     s = rng.standard_normal(n)
     y = s + 0.5 * rng.standard_normal(n)
     if float(np.dot(s, y)) < 0:
@@ -48,7 +48,7 @@ def test_bfgs_quadratic_reconstruction():
     n = 4
     M = rng.standard_normal((n, n))
     H = M @ M.T + n * np.eye(n)
-    qn = qn_init(n, 0, n, jnp.float64)
+    qn = qn_init(n, n, jnp.float64)
     pairs = []
     for _ in range(n):
         s = rng.standard_normal(n)
@@ -64,7 +64,7 @@ def test_bfgs_quadratic_reconstruction():
 def test_bfgs_positive_definite():
     rng = np.random.default_rng(2)
     n = 6
-    qn = qn_init(n, 0, 5, jnp.float64)
+    qn = qn_init(n, 5, jnp.float64)
     pairs = []
     for _ in range(8):  # exceed the window: ring buffer rolls
         s = rng.standard_normal(n)
@@ -82,7 +82,7 @@ def test_bfgs_positive_definite():
 def test_sr1_secant_property():
     rng = np.random.default_rng(3)
     n = 5
-    qn = qn_init(n, 0, 4, jnp.float64)
+    qn = qn_init(n, 4, jnp.float64)
     s = rng.standard_normal(n)
     y = rng.standard_normal(n)
     qn = _push_pairs(qn, [(s, y)], "sr1")
@@ -110,3 +110,39 @@ def test_solve_hs71_bfgs():
     state = solve(problem, settings, x0, max_iterations=300)
     assert int(state.status) == Status.OPTIMAL
     np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=1e-4)
+
+
+def test_block_diagonal_hess_struct():
+    """Per-block BFGS with a declared block-diagonal Hessian
+    (reference SleqpHessStruct + bfgs.c blocks)."""
+    import jax.numpy as jnp
+    from sleqp_tpu import Func, Problem
+
+    # separable objective: two independent 2-d Rosenbrocks
+    def obj(x):
+        return (
+            (1.0 - x[0]) ** 2
+            + 100.0 * (x[1] - x[0] ** 2) ** 2
+            + (1.0 - x[2]) ** 2
+            + 10.0 * (x[3] - x[2] ** 2) ** 2
+        )
+
+    func = Func(obj, num_variables=4, hess_struct=((0, 2), (2, 4)))
+    problem = Problem(func)
+    settings = Settings(hess_eval=HessEval.DAMPED_BFGS)
+    state = solve(problem, settings, jnp.zeros(4), max_iterations=300)
+    assert int(state.status) == Status.OPTIMAL
+    np.testing.assert_allclose(
+        np.asarray(state.it.x), [1.0, 1.0, 1.0, 1.0], atol=1e-5
+    )
+    # state holds one ring buffer per block
+    assert isinstance(state.qn, tuple) and len(state.qn) == 2
+    assert state.qn[0].S.shape == (5, 2)
+
+
+def test_invalid_hess_struct():
+    import jax.numpy as jnp
+    from sleqp_tpu import Func
+
+    with pytest.raises(ValueError):
+        Func(lambda x: jnp.vdot(x, x), num_variables=3, hess_struct=((0, 2), (1, 3)))
