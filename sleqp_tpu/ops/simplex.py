@@ -58,6 +58,7 @@ class SimplexResult(NamedTuple):
     obj: Array  # scalar objective value
     state: Array  # int32: OPTIMAL / ITERATION_LIMIT / UNBOUNDED
     iterations: Array  # int32 pivot count
+    condition: Array  # 1-norm condition estimate of the final basis
 
 
 def _finite(v: Array) -> Array:
@@ -306,6 +307,13 @@ def solve(
     r = c - y @ A
     state = jnp.where(final["state"] < 0, ITERATION_LIMIT, final["state"])
 
+    # 1-norm condition estimate of the basis (reference lpi vtable
+    # basis-condition op, lp/lpi_types.h:100-118)
+    B = A[:, basis]
+    condition = jnp.sum(jnp.abs(B), axis=0).max() * jnp.sum(
+        jnp.abs(B_inv), axis=0
+    ).max()
+
     return SimplexResult(
         x=x,
         duals=y,
@@ -315,6 +323,7 @@ def solve(
         obj=jnp.vdot(c, x),
         state=state,
         iterations=final["it"],
+        condition=condition,
     )
 
 
