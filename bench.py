@@ -187,6 +187,57 @@ def _kkt_diagnostics(device) -> None:
         print(f"# kkt diagnostics failed: {exc}", file=sys.stderr)
 
 
+def _ocp_diagnostics(device) -> None:
+    """Block-structured OCP benchmark (BASELINE config 4), stderr only:
+    full structured SQP iterations at n ~ 100k on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from sleqp_tpu import Settings
+    from sleqp_tpu.ocp import (
+        BlockStructuredProblem,
+        ocp_initial_state,
+        ocp_perform_iteration,
+    )
+
+    try:
+        with jax.default_device(device):
+            T, nx, nu = 1560, 32, 32  # n = T*(nx+nu) ~ 100k
+            rng = np.random.default_rng(0)
+            A = jnp.asarray(
+                np.eye(nx) + 0.02 * rng.standard_normal((nx, nx))
+            )
+            B = jnp.asarray(0.1 * rng.standard_normal((nx, nu)))
+
+            def dyn(x, u, t):
+                return A @ x + B @ u + 0.01 * jnp.tanh(x)
+
+            def cost(x, u, t):
+                return 0.5 * (jnp.vdot(x, x) + 0.1 * jnp.vdot(u, u))
+
+            ocp = BlockStructuredProblem(
+                dyn, cost, T, nx, nu, x0=jnp.ones((nx,))
+            )
+            settings = Settings()
+            s0 = ocp_initial_state(ocp, settings)
+            step = jax.jit(lambda s: ocp_perform_iteration(ocp, settings, s))
+            s = step(s0)
+            jax.block_until_ready(s)
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                s = step(s)
+                jax.block_until_ready(s)
+            dt = (time.perf_counter() - t0) / reps
+            print(
+                f"# ocp structured SQP n={T * (nx + nu)}: "
+                f"{1e3 * dt:.1f} ms/iteration on {device}",
+                file=sys.stderr,
+            )
+    except Exception as exc:
+        print(f"# ocp diagnostics failed: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     import jax
 
@@ -201,6 +252,7 @@ def main() -> None:
 
     if accel_devices:
         _kkt_diagnostics(accel_devices[0])
+        _ocp_diagnostics(accel_devices[0])
         ((dt, iters, solved), mode) = _run_on(accel_devices[0])
         value = iters / dt
         # host-CPU baseline of the same workload

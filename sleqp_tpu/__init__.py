@@ -80,4 +80,12 @@ def __getattr__(name: str):
         from .solver import Solver as _Solver
 
         return _Solver
+    if name == "BlockStructuredProblem":
+        from .ocp import BlockStructuredProblem as _BSP
+
+        return _BSP
+    if name == "ocp_solve":
+        from .ocp import ocp_solve as _ocp_solve
+
+        return _ocp_solve
     raise AttributeError(f"module 'sleqp_tpu' has no attribute {name!r}")
