@@ -97,6 +97,8 @@ def run_suite(
     max_iterations: int = 500,
     verbose: bool = False,
 ) -> SuiteResult:
+    import jax
+
     names = list(names) if names is not None else list(HS_PROBLEMS)
     rows = []
     solved = 0
@@ -105,11 +107,15 @@ def run_suite(
         row, ok, obj_ok = run_problem(name, settings, max_iterations)
         rows.append(row)
         if verbose:
-            print(row)
+            print(row, flush=True)
         if ok and obj_ok:
             solved += 1
         elif ok and not obj_ok:
             wrong.append(name)
+        # each problem compiles unique shapes; dropping the executables
+        # bounds compile-memory growth (LLVM OOM/segfault after ~100+
+        # in-process compilations otherwise — see CLAUDE.md)
+        jax.clear_caches()
     return SuiteResult(
         rows=rows, solved=solved, total=len(names), wrong_objective=wrong
     )

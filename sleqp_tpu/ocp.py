@@ -126,8 +126,11 @@ class BlockStructuredProblem:
 
     # ---- batched stage evaluations (all vmap over t) -------------------
 
-    def rollout(self, U: Array) -> Array:
-        """Forward simulation from x0: X (T+1, nx) with X[0] = x0."""
+    def rollout(self, U: Array, x0: Optional[Array] = None) -> Array:
+        """Forward simulation: X (T+1, nx) with X[0] = x0 (default the
+        problem's initial state; pass a traced x0 for scenario batching)."""
+        if x0 is None:
+            x0 = self.x0
 
         def step(x, inp):
             u, t = inp
@@ -135,8 +138,8 @@ class BlockStructuredProblem:
             return x_next, x_next
 
         ts = jnp.arange(self.T)
-        _, xs = lax.scan(step, self.x0, (U, ts))
-        return jnp.concatenate([self.x0[None], xs], axis=0)
+        _, xs = lax.scan(step, x0, (U, ts))
+        return jnp.concatenate([x0[None], xs], axis=0)
 
     def residuals(self, X: Array, U: Array) -> Array:
         """Dynamics defects c_t = f_t(x_t,u_t) - x_{t+1}, shape (T, nx)."""
@@ -221,9 +224,15 @@ def ocp_initial_state(
     settings: Settings,
     U0: Optional[Array] = None,
     X0: Optional[Array] = None,
+    x0: Optional[Array] = None,
 ) -> OCPState:
     """Initialize from a control guess (default zeros, clipped to bounds)
-    with a dynamics rollout — a feasible multiple-shooting start."""
+    with a dynamics rollout — a feasible multiple-shooting start.
+
+    ``x0`` overrides the problem's initial state; it may be a traced
+    array, so scenario batches vmap over initial conditions (the
+    structured-path analogue of the reference's independent-solver
+    thread test, src/test/thread_test.c:13-110)."""
     T, nx, nu = problem.T, problem.nx, problem.nu
     dtype = problem.dtype
     if U0 is None:
@@ -233,7 +242,7 @@ def ocp_initial_state(
         jnp.where(jnp.isfinite(problem.u_lb), problem.u_lb, -jnp.inf),
         jnp.where(jnp.isfinite(problem.u_ub), problem.u_ub, jnp.inf),
     )
-    X = problem.rollout(U0) if X0 is None else jnp.asarray(X0, dtype=dtype)
+    X = problem.rollout(U0, x0=x0) if X0 is None else jnp.asarray(X0, dtype=dtype)
     zero_i = jnp.asarray(0, jnp.int32)
     return OCPState(
         X=X,
@@ -566,3 +575,21 @@ def ocp_solve(
     return ocp_solve_jit(
         problem, settings, state0, max_iterations, mesh, mesh_axis
     )
+
+
+def batched_ocp_solve(
+    problem: BlockStructuredProblem,
+    settings: Settings,
+    x0_batch: Array,
+    max_iterations: int = 100,
+) -> OCPState:
+    """Scenario batch: vmap independent structured solves over initial
+    states (BASELINE config 5 on the block-structured path).  Returns a
+    batched OCPState; combine with `jax.sharding` to spread the batch
+    over a mesh."""
+
+    def one(x0):
+        s0 = ocp_initial_state(problem, settings, x0=x0)
+        return ocp_solve_jit(problem, settings, s0, max_iterations)
+
+    return jax.jit(jax.vmap(one))(x0_batch)

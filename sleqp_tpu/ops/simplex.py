@@ -47,6 +47,7 @@ Array = jax.Array
 OPTIMAL = 0
 ITERATION_LIMIT = 1
 UNBOUNDED = 2
+DUAL_STALL = 3  # dual ratio test found no entering column
 
 
 class SimplexResult(NamedTuple):
@@ -82,6 +83,181 @@ def _recompute(A: Array, basis: Array, status: Array, lb: Array, ub: Array):
     xN = _nonbasic_value(status, lb, ub)
     xB = -B_inv @ (A @ xN)
     return B_inv, xB
+
+
+class DualStageResult(NamedTuple):
+    basis: Array  # (m,) int32
+    status: Array  # (N,) int8
+    state: Array  # int32: OPTIMAL / ITERATION_LIMIT / DUAL_STALL
+    iterations: Array  # int32 pivot count
+
+
+def solve_dual(
+    A: Array,
+    c: Array,
+    lb: Array,
+    ub: Array,
+    basis: Array,
+    status: Array,
+    max_iterations: int,
+    feas_tol: float = 1e-9,
+    piv_tol: float = 1e-11,
+    refactor_every: int = 64,
+    bland_after: int = 100,
+) -> DualStageResult:
+    """Bounded-variable dual simplex from a dual-feasible basis.
+
+    The warm-start workhorse: when the SQP loop shrinks the LP trust
+    radius (a rejected step) or sweeps it (parametric Cauchy), the LP
+    data change only in the *bounds* — the saved basis keeps its reduced
+    costs and therefore stays dual feasible while turning primal
+    infeasible.  Dual pivots drive the primal infeasibility out in a few
+    iterations instead of rebuilding from a crash (slack) basis.  The
+    reference gets this behavior for free from its LP backends' internal
+    warm-start logic (lpi vtable save/restore, lp/lpi_types.h:60-67);
+    here it is explicit.
+
+    Runs until primal feasible (state=OPTIMAL: since dual feasibility is
+    maintained, the basis is then optimal), the iteration cap, or a
+    failed dual ratio test (DUAL_STALL — numerically lost dual
+    feasibility; the caller falls back to a crash basis).
+    """
+    m, N = A.shape
+    dtype = A.dtype
+    basis = jnp.asarray(basis, dtype=jnp.int32)
+    status = jnp.asarray(status, dtype=jnp.int8)
+
+    B_inv, xB = _recompute(A, basis, status, lb, ub)
+    ptol = feas_tol * (1.0 + jnp.max(jnp.abs(jnp.where(_finite(lb), lb, 0.0)))
+                       + jnp.max(jnp.abs(jnp.where(_finite(ub), ub, 0.0))))
+    col_idx = jnp.arange(N, dtype=jnp.int32)
+
+    init = dict(
+        B_inv=B_inv,
+        xB=xB,
+        basis=basis,
+        status=status,
+        it=jnp.asarray(0, jnp.int32),
+        stall=jnp.asarray(0, jnp.int32),
+        state=jnp.asarray(-1, jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.logical_and(s["state"] < 0, s["it"] < max_iterations)
+
+    def body(s):
+        B_inv, xB, basis, status = s["B_inv"], s["xB"], s["basis"], s["status"]
+        lbB, ubB = lb[basis], ub[basis]
+
+        # ---- leaving-row pricing: largest bound violation --------------
+        viol_low = jnp.where(_finite(lbB), lbB - xB, -jnp.inf)
+        viol_up = jnp.where(_finite(ubB), xB - ubB, -jnp.inf)
+        viol = jnp.maximum(viol_low, viol_up)
+        use_bland = s["stall"] > bland_after
+        r_most = jnp.argmax(viol)
+        r_bland = jnp.argmin(jnp.where(viol > ptol, basis, N + 1))
+        row_r = jnp.where(use_bland, r_bland, r_most).astype(jnp.int32)
+        primal_feasible = viol[r_most] <= ptol
+
+        below = viol_low[row_r] >= viol_up[row_r]  # leaves at its LOWER bound
+        target = jnp.where(below, lbB[row_r], ubB[row_r])
+
+        # ---- dual ratio test over the tableau row -----------------------
+        y = c[basis] @ B_inv
+        red = c - y @ A  # reduced costs (dual feasible up to drift)
+        alpha = B_inv[row_r] @ A  # tableau row, O(mN)
+        q_dir = jnp.where(below, 1.0, -1.0)  # required movement of xB[r]
+
+        is_basic = status == BaseStat.BASIC
+        at_lower = status == BaseStat.LOWER
+        at_upper = status == BaseStat.UPPER
+        free = status == BaseStat.ZERO
+        # raising a LOWER col changes xB[r] by -alpha; lowering an UPPER
+        # col by +alpha; free columns move either way
+        can_help = (
+            (at_lower & (alpha * q_dir < -piv_tol))
+            | (at_upper & (alpha * q_dir > piv_tol))
+            | (free & (jnp.abs(alpha) > piv_tol))
+        ) & ~is_basic
+
+        ratio = jnp.where(can_help, jnp.abs(red) / jnp.abs(alpha), jnp.inf)
+        any_help = jnp.any(can_help)
+        best = jnp.min(ratio)
+        near = can_help & (ratio <= best * (1.0 + 1e-9) + 1e-30)
+        stab = jnp.where(near, jnp.abs(alpha), -1.0)
+        e_stab = jnp.argmax(stab)
+        e_bland = jnp.min(jnp.where(near, col_idx, N))
+        e = jnp.where(
+            use_bland, jnp.minimum(e_bland, N - 1), e_stab
+        ).astype(jnp.int32)
+
+        # ---- pivot -------------------------------------------------------
+        w = B_inv @ A[:, e]
+        w_r = w[row_r]
+        safe_wr = jnp.where(jnp.abs(w_r) > piv_tol, w_r, 1.0)
+        t_e = (xB[row_r] - target) / safe_wr  # signed entering movement
+        e_rest = _nonbasic_value(status, lb, ub)[e]
+
+        xB_new = xB - t_e * w
+        xB_new = xB_new.at[row_r].set(e_rest + t_e)
+
+        leaving = basis[row_r]
+        leave_stat = jnp.where(below, BaseStat.LOWER, BaseStat.UPPER).astype(
+            jnp.int8
+        )
+        status_new = status.at[leaving].set(leave_stat)
+        status_new = status_new.at[e].set(jnp.int8(BaseStat.BASIC))
+        basis_new = basis.at[row_r].set(e)
+
+        pivot_row = B_inv[row_r] / safe_wr
+        B_inv_new = B_inv - jnp.outer(w, pivot_row)
+        B_inv_new = B_inv_new.at[row_r].set(pivot_row)
+
+        done = primal_feasible
+        stalled = (~done) & (~any_help)
+        step = (~done) & any_help
+
+        basis_next = jnp.where(step, basis_new, basis)
+        status_next = jnp.where(step, status_new, status)
+        B_inv_next = jnp.where(step, B_inv_new, B_inv)
+        xB_next = jnp.where(step, xB_new, xB)
+
+        it_next = s["it"] + step.astype(jnp.int32)
+        do_refac = step & (it_next % refactor_every == 0)
+
+        def refac(_):
+            return _recompute(A, basis_next, status_next, lb, ub)
+
+        B_inv_next, xB_next = lax.cond(
+            do_refac, refac, lambda _: (B_inv_next, xB_next), operand=None
+        )
+
+        degenerate = jnp.abs(red[e]) <= piv_tol
+        stall_next = jnp.where(
+            step & degenerate, s["stall"] + 1, jnp.where(step, 0, s["stall"])
+        )
+        state_next = jnp.where(
+            done, OPTIMAL, jnp.where(stalled, DUAL_STALL, s["state"])
+        ).astype(jnp.int32)
+
+        return dict(
+            B_inv=B_inv_next,
+            xB=xB_next,
+            basis=basis_next,
+            status=status_next,
+            it=it_next,
+            stall=stall_next,
+            state=state_next,
+        )
+
+    final = lax.while_loop(cond, body, init)
+    state = jnp.where(final["state"] < 0, ITERATION_LIMIT, final["state"])
+    return DualStageResult(
+        basis=final["basis"],
+        status=final["status"],
+        state=state,
+        iterations=final["it"],
+    )
 
 
 def solve(

@@ -302,6 +302,7 @@ def perform_iteration(
             state.basis,
             settings_eps=settings.eps,
             lp_resolves=settings.lp_resolves,
+            dual_warm_start=settings.lp_dual_warm_start,
         )
 
         # Byrd penalty update when infeasible (cauchy_step.c:80-88)

@@ -77,6 +77,10 @@ class Settings:
     num_threads: int = -1  # SLEQP_NONE; XLA manages intra-op parallelism
 
     # --- TPU-native additions (no reference equivalent) ---
+    # Dual-simplex warm starts: when a saved basis is primal infeasible
+    # (trust radius changed) but still dual feasible, re-optimize with
+    # dual pivots instead of crash-repairing the basis.
+    lp_dual_warm_start: bool = True
     # Hard cap on simplex pivots per LP solve; -1 = auto (scales with size).
     max_lp_iterations: int = -1
     # Refactorize the simplex basis inverse every this many pivots.

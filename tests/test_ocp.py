@@ -189,3 +189,23 @@ def test_ocp_single_iteration_is_pure_and_jittable():
     # feasible rollout start: defects are zero, first step reduces the cost
     assert float(s0.feas_res) == np.inf  # unset before first linearization
     assert float(s1.obj_val) < float(s0.obj_val)
+
+
+def test_ocp_scenario_batch():
+    """vmapped independent structured solves over initial states."""
+    from sleqp_tpu.ocp import batched_ocp_solve
+
+    ocp = _make_ocp()
+    x0s = jnp.stack(
+        [X_INIT, X_INIT + jnp.array([0.3, -0.1]), X_INIT * 0.5]
+    )
+    out = batched_ocp_solve(ocp, Settings(), x0s, max_iterations=60)
+    assert np.all(np.asarray(out.status) == Status.OPTIMAL)
+    assert out.U.shape == (3, T, NU)
+    # lane 0 must match the unbatched solve exactly
+    single = ocp_solve(ocp, max_iterations=60)
+    np.testing.assert_allclose(
+        np.asarray(out.U[0]), np.asarray(single.U), atol=1e-10
+    )
+    # different scenarios genuinely differ
+    assert float(np.abs(np.asarray(out.U[1] - out.U[0])).max()) > 1e-3

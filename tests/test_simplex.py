@@ -284,3 +284,100 @@ def test_vmap_batch_of_lps():
         np.testing.assert_allclose(
             float(batched.obj[b]), ref.fun, rtol=1e-8, atol=1e-8
         )
+
+
+def test_dual_simplex_reoptimizes_after_bound_shrink():
+    """Shrinking column bounds keeps the optimal basis dual feasible but
+    makes it primal infeasible — dual pivots must restore optimality in
+    far fewer iterations than a cold solve (and match it exactly)."""
+    rng = np.random.default_rng(11)
+    n, m = 10, 6
+    A_rows = rng.standard_normal((m, n))
+    col_lb, col_ub = -np.ones(n), np.ones(n)
+    c = rng.standard_normal(n)
+    # rows wide enough that the cold slack-start stays primal feasible
+    # for both boxes (the solver's documented precondition)
+    wide = np.abs(A_rows) @ np.ones(n) + 0.5
+    row_lb, row_ub = -wide, wide
+
+    res1 = _solve_sleqp(A_rows, row_lb, row_ub, col_lb, col_ub, c)
+    assert int(res1.state) == simplex.OPTIMAL
+
+    # shrink the box (the LP trust-radius pattern of the Cauchy layer)
+    shrink = 0.4
+    A, lb, ub, cc = _standard_form(
+        A_rows, row_lb, row_ub, shrink * col_lb, shrink * col_ub, c
+    )
+    lb = np.where(np.isfinite(lb), lb, -INF)
+    ub = np.where(np.isfinite(ub), ub, INF)
+
+    dres = simplex.solve_dual(
+        jnp.asarray(A),
+        jnp.asarray(cc),
+        jnp.asarray(lb),
+        jnp.asarray(ub),
+        res1.basis,
+        res1.status,
+        max_iterations=500,
+    )
+    assert int(dres.state) == simplex.OPTIMAL
+
+    # finishing primal pass confirms optimality without extra pivots
+    res2 = simplex.solve(
+        jnp.asarray(A),
+        jnp.asarray(cc),
+        jnp.asarray(lb),
+        jnp.asarray(ub),
+        dres.basis,
+        dres.status,
+        max_iterations=500,
+    )
+    assert int(res2.state) == simplex.OPTIMAL
+    assert int(res2.iterations) == 0
+
+    cold = _solve_sleqp(
+        A_rows, row_lb, row_ub, shrink * col_lb, shrink * col_ub, c
+    )
+    assert int(cold.state) == simplex.OPTIMAL
+    np.testing.assert_allclose(float(res2.obj), float(cold.obj), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(res2.x), np.asarray(cold.x), atol=1e-9
+    )
+    assert int(dres.iterations) < int(cold.iterations)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_dual_simplex_random_bound_changes(seed):
+    """Random bound perturbations: dual stage + primal finish must agree
+    with a cold solve."""
+    rng = np.random.default_rng(100 + seed)
+    n, m = 7, 4
+    A_rows = rng.standard_normal((m, n))
+    col_lb, col_ub = -np.ones(n), np.ones(n)
+    row_lb, row_ub = np.full(m, -3.0), np.full(m, 3.0)
+    c = rng.standard_normal(n)
+
+    res1 = _solve_sleqp(A_rows, row_lb, row_ub, col_lb, col_ub, c)
+    assert int(res1.state) == simplex.OPTIMAL
+
+    scale = rng.uniform(0.2, 0.9)
+    new_lb, new_ub = scale * col_lb, scale * col_ub
+    A, lb, ub, cc = _standard_form(A_rows, row_lb, row_ub, new_lb, new_ub, c)
+    lb = np.where(np.isfinite(lb), lb, -INF)
+    ub = np.where(np.isfinite(ub), ub, INF)
+
+    dres = simplex.solve_dual(
+        jnp.asarray(A), jnp.asarray(cc), jnp.asarray(lb), jnp.asarray(ub),
+        res1.basis, res1.status, max_iterations=500,
+    )
+    res2 = simplex.solve(
+        jnp.asarray(A), jnp.asarray(cc), jnp.asarray(lb), jnp.asarray(ub),
+        dres.basis, dres.status, max_iterations=500,
+    )
+    ref = _solve_scipy(A_rows, row_lb, row_ub, new_lb, new_ub, c)
+    assert int(dres.state) == simplex.OPTIMAL
+    assert int(res2.state) == simplex.OPTIMAL
+    assert ref.status == 0
+    np.testing.assert_allclose(float(res2.obj), ref.fun, rtol=1e-9, atol=1e-9)
+    x = np.asarray(res2.x)
+    assert np.all(x >= lb - 1e-9) and np.all(x <= ub + 1e-9)
