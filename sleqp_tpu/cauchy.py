@@ -39,9 +39,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from .iterate import Iterate
-from .ops import simplex
+from .ops import pdlp, simplex
 from .problem import ProblemData
-from .types import INF, INF_THRESHOLD, ActiveState, BaseStat
+from .types import INF, INF_THRESHOLD, ActiveState, BaseStat, LPSolver
 
 Array = jax.Array
 
@@ -268,6 +268,15 @@ def _try_warm_basis(
     return lax.cond(saved.valid, try_warm, repaired, None)
 
 
+def resolved_lp_solver(settings, n: int, m: int) -> LPSolver:
+    """Static AUTO resolution of the Cauchy LP backend by LP size."""
+    if settings.lp_solver == LPSolver.AUTO:
+        if m > 0 and (n + 3 * m) >= settings.pdlp_threshold:
+            return LPSolver.PDLP
+        return LPSolver.SIMPLEX
+    return settings.lp_solver
+
+
 def solve_cauchy_lp(
     data: ProblemData,
     it: Iterate,
@@ -279,6 +288,8 @@ def solve_cauchy_lp(
     feasibility_mode: bool = False,
     lp_resolves: bool = True,
     dual_warm_start: bool = True,
+    lp_solver: LPSolver = LPSolver.SIMPLEX,
+    pdlp_tol: float = 1e-9,
 ) -> CauchyResult:
     """One LP solve + full extraction (standard_cauchy.c:843-1462).
 
@@ -292,6 +303,43 @@ def solve_cauchy_lp(
     m, n = it.cons_jac.shape
     A, lb, ub = _lp_data(data, it, trust_radius)
     c = _objective(it, penalty, feasibility_mode)
+
+    if lp_solver == LPSolver.PDLP:
+        # First-order backend for huge LPs: restarted-average PDHG (pure
+        # matvecs on the MXU, no sequential pivot chain).  No simplex
+        # basis exists; statuses are synthesized from bound proximity and
+        # reduced-cost signs, and the saved basis is passed through
+        # untouched (SURVEY §7.3 "first-order/PDLP fallback mode").
+        pres = pdlp.solve(
+            A,
+            c,
+            lb,
+            ub,
+            max_iterations=(max_iterations if max_iterations > 0 else 20000),
+            tol=pdlp_tol,
+        )
+        res = simplex.SimplexResult(
+            x=pres.x,
+            duals=pres.duals,
+            reduced_costs=pres.reduced_costs,
+            status=pres.status,
+            basis=saved_basis.basis,
+            obj=pres.obj,
+            state=pres.state,
+            iterations=pres.iterations,
+            condition=jnp.asarray(1.0, A.dtype),
+        )
+        return _extract(
+            data, it, trust_radius, penalty, res, saved_basis,
+            A, lb, ub, c, n, m,
+            settings_eps=settings_eps,
+            feasibility_mode=feasibility_mode,
+            lp_resolves=False,
+            max_iterations=0,
+            dual_iters=jnp.asarray(0, jnp.int32),
+            keep_saved_basis=True,
+        )
+
     basis0, status0, use_dual = _try_warm_basis(
         A, lb, ub, c, saved_basis, n, m, allow_dual=dual_warm_start
     )
@@ -333,7 +381,41 @@ def solve_cauchy_lp(
     res = simplex.solve(
         A, c, lb, ub, basis1, status1, max_iterations=max_iterations
     )
+    return _extract(
+        data, it, trust_radius, penalty, res, saved_basis,
+        A, lb, ub, c, n, m,
+        settings_eps=settings_eps,
+        feasibility_mode=feasibility_mode,
+        lp_resolves=lp_resolves,
+        max_iterations=max_iterations,
+        dual_iters=dual_iters,
+        keep_saved_basis=False,
+    )
 
+
+def _extract(
+    data: ProblemData,
+    it: Iterate,
+    trust_radius: Array,
+    penalty: Array,
+    res: simplex.SimplexResult,
+    saved_basis: CauchyBasis,
+    A: Array,
+    lb: Array,
+    ub: Array,
+    c: Array,
+    n: int,
+    m: int,
+    *,
+    settings_eps: float,
+    feasibility_mode: bool,
+    lp_resolves: bool,
+    max_iterations: int,
+    dual_iters: Array,
+    keep_saved_basis: bool,
+) -> CauchyResult:
+    """Working set / duals / infeasibility extraction shared by the
+    simplex and PDLP backends (standard_cauchy.c:960-1462)."""
     d = res.x[:n]
     slack_sum = jnp.sum(res.x[n : n + 2 * m])
 
@@ -422,11 +504,15 @@ def solve_cauchy_lp(
     )
     locally_infeasible = ~(feasible_direction | tr_active)
 
-    new_basis = CauchyBasis(
-        basis=res.basis,
-        status=res.status,
-        valid=res.state == simplex.OPTIMAL,
-    )
+    if keep_saved_basis:
+        # PDLP backend: no simplex basis to save; keep the caller's.
+        new_basis = saved_basis
+    else:
+        new_basis = CauchyBasis(
+            basis=res.basis,
+            status=res.status,
+            valid=res.state == simplex.OPTIMAL,
+        )
 
     lp_obj = jnp.vdot(c[:n], d) + penalty * slack_sum
     return CauchyResult(

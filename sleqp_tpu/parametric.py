@@ -21,7 +21,7 @@ from .cauchy import CauchyResult, solve_cauchy_lp
 from .iterate import Iterate, total_violation
 from .merit import Direction, make_direction
 from .problem import ProblemData
-from .types import ParametricCauchy
+from .types import LPSolver, ParametricCauchy
 
 Array = jax.Array
 
@@ -42,6 +42,8 @@ def parametric_solve(
     cres: CauchyResult,
     cauchy_eta: float,
     settings_eps: float,
+    lp_solver: LPSolver = LPSolver.SIMPLEX,
+    pdlp_tol: float = 1e-9,
 ):
     """Returns (cres, lp_trust_radius, direction, quad_merit, full_step)."""
     increase, decrease, max_resolves = _PARAMS[mode]
@@ -72,6 +74,8 @@ def parametric_solve(
             penalty,
             prev.basis,
             settings_eps=settings_eps,
+            lp_solver=lp_solver,
+            pdlp_tol=pdlp_tol,
         )
 
     def forward(_):

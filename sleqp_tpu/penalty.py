@@ -18,6 +18,7 @@ from jax import lax
 from .cauchy import CauchyResult, solve_cauchy_lp
 from .iterate import Iterate
 from .problem import ProblemData
+from .types import LPSolver
 
 Array = jax.Array
 
@@ -33,6 +34,8 @@ def update_penalty(
     lp_trust_radius: Array,
     penalty: Array,
     current: CauchyResult,
+    lp_solver: LPSolver = LPSolver.SIMPLEX,
+    pdlp_tol: float = 1e-9,
 ) -> tuple[Array, CauchyResult, Array]:
     """Returns (new_penalty, cauchy_result_at_new_penalty, changed).
 
@@ -56,6 +59,8 @@ def update_penalty(
             basis,
             feasibility_mode=feas,
             lp_resolves=False,
+            lp_solver=lp_solver,
+            pdlp_tol=pdlp_tol,
         )
 
     def no_change(_):

@@ -294,6 +294,9 @@ def perform_iteration(
 
     # ---- Cauchy LP step -----------------------------------------------
     if m > 0:
+        from .cauchy import resolved_lp_solver
+
+        lp_backend = resolved_lp_solver(settings, n, m)
         cres = solve_cauchy_lp(
             data,
             it,
@@ -303,12 +306,15 @@ def perform_iteration(
             settings_eps=settings.eps,
             lp_resolves=settings.lp_resolves,
             dual_warm_start=settings.lp_dual_warm_start,
+            lp_solver=lp_backend,
+            pdlp_tol=settings.pdlp_tol,
         )
 
         # Byrd penalty update when infeasible (cauchy_step.c:80-88)
         def byrd(_):
             return update_penalty(
-                data, it, state.lp_trust_radius, penalty, cres
+                data, it, state.lp_trust_radius, penalty, cres,
+                lp_solver=lp_backend, pdlp_tol=settings.pdlp_tol,
             )
 
         def keep(_):
@@ -434,6 +440,8 @@ def perform_iteration(
             cres,
             settings.cauchy_eta,
             settings.eps,
+            lp_solver=lp_backend,
+            pdlp_tol=settings.pdlp_tol,
         )
         # re-extract the working set at the accepted radius and rebuild
         # the KKT factorization + working step (cauchy_step.c:205-231)

@@ -21,6 +21,7 @@ from .types import (
     DualEstimationType,
     HessEval,
     Linesearch,
+    LPSolver,
     ParametricCauchy,
     Polishing,
     StepRule,
@@ -85,6 +86,13 @@ class Settings:
     max_lp_iterations: int = -1
     # Refactorize the simplex basis inverse every this many pivots.
     lp_refactor_every: int = 64
+    # Cauchy LP backend: AUTO = simplex below pdlp_threshold LP columns
+    # (n + 3m), first-order PDLP kernel above it.
+    lp_solver: LPSolver = LPSolver.AUTO
+    pdlp_threshold: int = 8192
+    # KKT tolerance of the PDLP backend (needs to be well below stat_tol
+    # for reliable working-set extraction from near-optimal iterates).
+    pdlp_tol: float = 1e-9
     # dtype for all numerics ("float64" or "float32").
     dtype: str = "float64"
 
@@ -102,6 +110,7 @@ _ENUM_FIELDS = {
     "linesearch": Linesearch,
     "parametric_cauchy": ParametricCauchy,
     "aug_jac_method": AugJacMethod,
+    "lp_solver": LPSolver,
 }
 
 _TRUE_STRINGS = {"true", "1", "yes", "on"}

@@ -113,6 +113,21 @@ class TRSolver(enum.IntEnum):
     LSQR = 3
 
 
+class LPSolver(enum.IntEnum):
+    """Cauchy LP backend (TPU-native analogue of the reference's
+    build-time LP backend choice, lp/lpi_types.h + cmake/SearchLPS.cmake;
+    here a runtime setting because both backends are built in).
+
+    AUTO picks the revised simplex below ``pdlp_threshold`` LP columns
+    (exact vertex solutions, cheap warm-started pivots) and the
+    first-order PDLP kernel above it (pure matvecs, no sequential pivot
+    chain — the scalable choice for huge n on the MXU)."""
+
+    AUTO = 0
+    SIMPLEX = 1
+    PDLP = 2
+
+
 class Polishing(enum.IntEnum):
     """Post-solve working set polishing (pub_types.h:142-147)."""
 

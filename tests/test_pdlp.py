@@ -130,3 +130,76 @@ def test_pdlp_large_cauchy_shaped_lp():
     # the slacks vanish, so the objectives agree
     assert ref.status == 0
     np.testing.assert_allclose(float(res.obj), ref.fun, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# PDLP as the Cauchy LP backend (lp_solver setting)
+# ---------------------------------------------------------------------------
+
+
+def test_pdlp_cauchy_backend_matches_simplex():
+    """solve_cauchy_lp(lp_solver=PDLP) reproduces the simplex backend's
+    step and working set on a constrained fixture."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fixtures import hs71_problem
+    from sleqp_tpu import create_iterate
+    from sleqp_tpu.cauchy import empty_basis, solve_cauchy_lp
+    from sleqp_tpu.ops import simplex
+    from sleqp_tpu.types import LPSolver
+
+    problem, x0, _ = hs71_problem()
+    it = create_iterate(problem, jnp.asarray(x0))
+    basis = empty_basis(problem.num_variables, problem.num_cons)
+    radius = jnp.asarray(0.5)
+    penalty = jnp.asarray(10.0)
+
+    ref = solve_cauchy_lp(problem.data, it, radius, penalty, basis)
+    res = solve_cauchy_lp(
+        problem.data, it, radius, penalty, basis,
+        lp_solver=LPSolver.PDLP, pdlp_tol=1e-10,
+    )
+    assert int(res.lp_state) == simplex.OPTIMAL
+    np.testing.assert_allclose(
+        np.asarray(res.lp_step), np.asarray(ref.lp_step), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.var_states), np.asarray(ref.var_states)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.cons_states), np.asarray(ref.cons_states)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cons_dual), np.asarray(ref.cons_dual), atol=1e-6
+    )
+    # the saved basis passes through untouched
+    assert not bool(res.basis.valid)
+
+
+def test_pdlp_backend_full_solve():
+    """End-to-end NLP solve with lp_solver=PDLP reaches the optimum."""
+    from sleqp_tpu import Settings, Solver, Status
+    from sleqp_tpu.harness import hs
+    from sleqp_tpu.types import LPSolver
+
+    problem, x0, f_opt = hs.get_problem("hs35")
+    settings = Settings(lp_solver=LPSolver.PDLP, pdlp_tol=1e-10)
+    solver = Solver(problem, x0, settings)
+    status = solver.solve(max_iterations=100)
+    assert status == Status.OPTIMAL
+    assert abs(solver.obj_val - f_opt) <= 1e-5 * (1.0 + abs(f_opt))
+
+
+def test_lp_solver_auto_threshold():
+    """AUTO resolves by LP column count against pdlp_threshold."""
+    from sleqp_tpu import Settings
+    from sleqp_tpu.cauchy import resolved_lp_solver
+    from sleqp_tpu.types import LPSolver
+
+    s = Settings(pdlp_threshold=100)
+    assert resolved_lp_solver(s, 10, 5) == LPSolver.SIMPLEX  # N = 25
+    assert resolved_lp_solver(s, 70, 10) == LPSolver.PDLP  # N = 100
+    assert resolved_lp_solver(s, 1000, 0) == LPSolver.SIMPLEX  # box-only
+    s2 = Settings(lp_solver=LPSolver.SIMPLEX, pdlp_threshold=1)
+    assert resolved_lp_solver(s2, 1000, 1000) == LPSolver.SIMPLEX
