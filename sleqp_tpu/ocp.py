@@ -74,12 +74,14 @@ class BlockStructuredProblem:
     final_cost:  x -> scalar (optional, default 0)
     x0:          fixed initial state, shape (nx,)
     u_lb, u_ub:  optional control bounds (scalar or (nu,))
+    x_lb, x_ub:  optional state bounds (scalar or (nx,)), applied to
+                 x_1..x_T (x_0 is fixed); handled by the same
+                 reduced-gradient active-set freeze as control bounds
 
     ``gauss_newton=True`` builds stage Hessians from the costs only
     (guaranteed PSD for convex costs), skipping the dynamics curvature —
     the structured analogue of the reference's Gauss-Newton EQP solver
-    (gauss_newton.c).  State bounds are not supported on this path; use
-    penalty terms in the stage cost or the general ``Problem`` front end.
+    (gauss_newton.c).
     """
 
     def __init__(
@@ -93,6 +95,8 @@ class BlockStructuredProblem:
         final_cost: Optional[Callable[[Array], Array]] = None,
         u_lb: Any = None,
         u_ub: Any = None,
+        x_lb: Any = None,
+        x_ub: Any = None,
         gauss_newton: bool = False,
         dtype: Any = jnp.float64,
     ):
@@ -107,16 +111,21 @@ class BlockStructuredProblem:
         self.x0 = jnp.asarray(x0, dtype=dtype).reshape((self.nx,))
         self.gauss_newton = bool(gauss_newton)
 
-        def _bound(v, fill):
+        def _bound(v, fill, dim):
             if v is None:
-                return jnp.full((self.nu,), fill, dtype=dtype)
+                return jnp.full((dim,), fill, dtype=dtype)
             arr = jnp.asarray(v, dtype=dtype)
-            return jnp.broadcast_to(arr, (self.nu,))
+            return jnp.broadcast_to(arr, (dim,))
 
-        self.u_lb = _bound(u_lb, -jnp.inf)
-        self.u_ub = _bound(u_ub, jnp.inf)
+        self.u_lb = _bound(u_lb, -jnp.inf, self.nu)
+        self.u_ub = _bound(u_ub, jnp.inf, self.nu)
+        self.x_lb = _bound(x_lb, -jnp.inf, self.nx)
+        self.x_ub = _bound(x_ub, jnp.inf, self.nx)
         self.has_bounds = bool(
             jnp.any(jnp.isfinite(self.u_lb)) | jnp.any(jnp.isfinite(self.u_ub))
+        )
+        self.has_state_bounds = bool(
+            jnp.any(jnp.isfinite(self.x_lb)) | jnp.any(jnp.isfinite(self.x_ub))
         )
 
     # total number of primal variables of the flattened NLP
@@ -243,6 +252,12 @@ def ocp_initial_state(
         jnp.where(jnp.isfinite(problem.u_ub), problem.u_ub, jnp.inf),
     )
     X = problem.rollout(U0, x0=x0) if X0 is None else jnp.asarray(X0, dtype=dtype)
+    if problem.has_state_bounds:
+        # clip the rolled-out trajectory into the state box (x_0 stays
+        # fixed); the merit handles the induced dynamics defects
+        X = jnp.concatenate(
+            [X[:1], jnp.clip(X[1:], problem.x_lb, problem.x_ub)], axis=0
+        )
     zero_i = jnp.asarray(0, jnp.int32)
     return OCPState(
         X=X,
@@ -318,15 +333,20 @@ def _structured_kkt_step(
     solve = jax.vmap(lambda Lc, B: cho_solve((Lc, True), B))
     hg = solve(chols, gm[:, :, None])[:, :, 0]  # (T+1, nz) = H^-1 g
     M = solve(chols[:T], jnp.swapaxes(Gm, 1, 2))  # (T, nz, nx) = H^-1 G^T
+    # masked state selector: J row t applies -P_t to block t+1, with the
+    # columns of *frozen* (bound-active) state coordinates zeroed — the
+    # working-set QP moves only free variables (same treatment as G)
+    free_x = free[1:, :nx]  # (T, nx)
     Pt = jnp.zeros((nz, nx), dtype).at[:nx, :].set(jnp.eye(nx, dtype=dtype))
-    Xx = solve(chols[1:], jnp.broadcast_to(Pt, (T, nz, nx)))  # H_{t+1}^-1 P^T
+    Pm = Pt[None, :, :] * free_x[:, None, :]  # (T, nz, nx) = P_f^T per stage
+    Xx = solve(chols[1:], Pm)  # H_{t+1}^-1 P_f^T
 
-    # S_tt = G_t H_t^-1 G_t^T + P H_{t+1}^-1 P^T
-    S_diag = jnp.einsum("tij,tjk->tik", Gm, M) + Xx[:, :nx, :]
-    # S_{t+1,t} = -G_{t+1} H_{t+1}^-1 P^T
+    # S_tt = G_t H_t^-1 G_t^T + P_f H_{t+1}^-1 P_f^T
+    S_diag = jnp.einsum("tij,tjk->tik", Gm, M) + Xx[:, :nx, :] * free_x[:, :, None]
+    # S_{t+1,t} = -G_{t+1} H_{t+1}^-1 P_f^T
     S_sub = -jnp.einsum("tij,tjk->tik", Gm[1:], Xx[:-1])
     # rhs = c - J H^-1 g
-    rhs = c - (jnp.einsum("tij,tj->ti", Gm, hg[:T]) - hg[1:, :nx])
+    rhs = c - (jnp.einsum("tij,tj->ti", Gm, hg[:T]) - hg[1:, :nx] * free_x)
 
     if mesh is None:
         lam = block_tridiag_solve(S_diag, S_sub, rhs)
@@ -341,35 +361,52 @@ def _structured_kkt_step(
     # d = -H^-1 (g + J^T lam)
     jtl = jnp.zeros((T + 1, nz), dtype)
     jtl = jtl.at[:T].add(jnp.einsum("tij,ti->tj", Gm, lam))
-    jtl = jtl.at[1:, :nx].add(-lam)
+    jtl = jtl.at[1:, :nx].add(-lam * free_x)
     d = -solve(chols, ((gm + jtl))[:, :, None])[:, :, 0]
     return d, lam
 
 
-def _control_active_set(
-    problem: BlockStructuredProblem, U: Array, r_u: Array, eps: float
-) -> Array:
-    """Bound-active controls to freeze, from the reduced gradient at the
+def _bound_active_set(V: Array, lb: Array, ub: Array, r: Array, eps: float) -> Array:
+    """Bound-active variables to freeze, from the reduced gradient at the
     current duals (the structured stand-in for the reference's LP-basis
-    working-set extraction, standard_cauchy.c:843).
+    working-set extraction, standard_cauchy.c:843).  Applies to controls
+    and (rows 1..T of) states alike.
 
-    At the lower bound a control stays frozen while its reduced gradient
+    At the lower bound a variable stays frozen while its reduced gradient
     (= bound multiplier) is nonnegative, mirroring the basis-status sign
     conventions (lpi_types.h:12-18)."""
-    lb, ub = problem.u_lb, problem.u_ub
     tol_lb = jnp.where(jnp.isfinite(lb), eps * (1.0 + jnp.abs(lb)), -jnp.inf)
     tol_ub = jnp.where(jnp.isfinite(ub), eps * (1.0 + jnp.abs(ub)), -jnp.inf)
-    at_lb = jnp.isfinite(lb) & (U <= lb + tol_lb)
-    at_ub = jnp.isfinite(ub) & (U >= ub - tol_ub)
-    return (at_lb & (r_u >= 0.0)) | (at_ub & (r_u <= 0.0))
+    at_lb = jnp.isfinite(lb) & (V <= lb + tol_lb)
+    at_ub = jnp.isfinite(ub) & (V >= ub - tol_ub)
+    return (at_lb & (r >= 0.0)) | (at_ub & (r <= 0.0))
+
+
+def _bound_stationarity(V: Array, lb: Array, ub: Array, r: Array) -> Array:
+    """Per-entry stationarity measure under simple bounds: at a lower
+    bound the multiplier (= r) must be >= 0, at an upper <= 0; free
+    entries need r == 0 (iterate.c:499 sign conventions)."""
+    eps_scale = 1e-8
+    at_lb = jnp.isfinite(lb) & (V <= lb + eps_scale * (1.0 + jnp.abs(lb)))
+    at_ub = jnp.isfinite(ub) & (V >= ub - eps_scale * (1.0 + jnp.abs(ub)))
+    return jnp.where(
+        at_lb,
+        jnp.maximum(0.0, -r),
+        jnp.where(at_ub, jnp.maximum(0.0, r), jnp.abs(r)),
+    )
 
 
 def _stationarity(
-    problem: BlockStructuredProblem, U: Array, g: Array, G: Array, lam: Array
+    problem: BlockStructuredProblem,
+    X: Array,
+    U: Array,
+    g: Array,
+    G: Array,
+    lam: Array,
 ):
-    """KKT stationarity residual + reduced control gradient.
+    """KKT stationarity residual + reduced gradients.
 
-    r = g + J^T lam on all true variables; bound-active controls
+    r = g + J^T lam on all true variables; bound-active controls/states
     contribute only their complementarity violation (iterate.c:499)."""
     T, nx, nz = problem.T, problem.nx, problem.nz
     r = jnp.zeros_like(g)
@@ -377,23 +414,15 @@ def _stationarity(
     r = r.at[1:, :nx].add(-lam)
     r = r + g
     r_u = r[:T, nx:]  # (T, nu) reduced gradient on controls
+    r_x = r[1:, :nx]  # (T, nx) reduced gradient on states x_1..x_T
 
-    lb, ub = problem.u_lb, problem.u_ub
-    eps_scale = 1e-8
-    at_lb = jnp.isfinite(lb) & (U <= lb + eps_scale * (1.0 + jnp.abs(lb)))
-    at_ub = jnp.isfinite(ub) & (U >= ub - eps_scale * (1.0 + jnp.abs(ub)))
-    # at a lower bound the multiplier (= r_u) must be >= 0, at an upper <= 0
-    stat_u = jnp.where(
-        at_lb,
-        jnp.maximum(0.0, -r_u),
-        jnp.where(at_ub, jnp.maximum(0.0, r_u), jnp.abs(r_u)),
-    )
-    # states x_1..x_T are always free; x_0 fixed, dummy u_T ignored
-    stat_x = jnp.abs(r[1:, :nx])
+    stat_u = _bound_stationarity(U, problem.u_lb, problem.u_ub, r_u)
+    # x_0 fixed, dummy u_T ignored
+    stat_x = _bound_stationarity(X[1:], problem.x_lb, problem.x_ub, r_x)
     stat = jnp.maximum(
         jnp.max(stat_x, initial=0.0), jnp.max(stat_u, initial=0.0)
     )
-    return stat, r_u
+    return stat, r_u, r_x
 
 
 def ocp_perform_iteration(
@@ -411,7 +440,7 @@ def ocp_perform_iteration(
 
     c, g, G, H = problem.linearize(X, U, state.lam)
     feas_res = jnp.max(jnp.abs(c), initial=0.0)
-    stat_res, r_u = _stationarity(problem, U, g, G, state.lam)
+    stat_res, r_u, r_x = _stationarity(problem, X, U, g, G, state.lam)
 
     optimal = (feas_res <= settings.feas_tol) & (stat_res <= settings.stat_tol)
     deadpoint = state.reg >= REG_MAX
@@ -422,7 +451,13 @@ def ocp_perform_iteration(
     frozen = frozen.at[T, nx:].set(True)  # dummy terminal control
     if problem.has_bounds:
         frozen = frozen.at[:T, nx:].set(
-            _control_active_set(problem, U, r_u, settings.eps)
+            _bound_active_set(U, problem.u_lb, problem.u_ub, r_u, settings.eps)
+        )
+    if problem.has_state_bounds:
+        frozen = frozen.at[1:, :nx].set(
+            _bound_active_set(
+                X[1:], problem.x_lb, problem.x_ub, r_x, settings.eps
+            )
         )
 
     d, lam_qp = _structured_kkt_step(
@@ -452,6 +487,12 @@ def ocp_perform_iteration(
 
     def trial_merit(alpha):
         Xa = X + alpha * dX
+        if problem.has_state_bounds:
+            # clip x_1..x_T into the box; the l1 merit absorbs the
+            # resulting dynamics defects (same treatment as controls)
+            Xa = jnp.concatenate(
+                [Xa[:1], jnp.clip(Xa[1:], problem.x_lb, problem.x_ub)], axis=0
+            )
         Ua = jnp.clip(U + alpha * dU, problem.u_lb, problem.u_ub)
         return problem.merit(Xa, Ua, penalty), (Xa, Ua)
 

@@ -55,7 +55,7 @@ def _make_ocp(**kwargs):
     )
 
 
-def _flat_problem(u_lb=None, u_ub=None):
+def _flat_problem(u_lb=None, u_ub=None, x_lb=None, x_ub=None):
     """The same OCP as a plain NLP: v = [x_1..x_T, u_0..u_{T-1}]."""
     n = T * NX + T * NU
 
@@ -80,12 +80,16 @@ def _flat_problem(u_lb=None, u_ub=None):
     func = Func(obj, num_variables=n, cons=cons, num_cons=m)
     var_lb = None
     var_ub = None
-    if u_lb is not None:
+    if u_lb is not None or x_lb is not None:
+        xl = -jnp.inf if x_lb is None else x_lb
+        xu = jnp.inf if x_ub is None else x_ub
+        ul = -jnp.inf if u_lb is None else u_lb
+        uu = jnp.inf if u_ub is None else u_ub
         var_lb = jnp.concatenate(
-            [jnp.full((T * NX,), -jnp.inf), jnp.full((T * NU,), u_lb)]
+            [jnp.full((T * NX,), xl), jnp.full((T * NU,), ul)]
         )
         var_ub = jnp.concatenate(
-            [jnp.full((T * NX,), jnp.inf), jnp.full((T * NU,), u_ub)]
+            [jnp.full((T * NX,), xu), jnp.full((T * NU,), uu)]
         )
     problem = Problem(
         func,
@@ -140,6 +144,52 @@ def test_ocp_control_bounds_active_set():
     )
     # some bound must actually be active for this test to mean anything
     assert (np.abs(U) >= ub - 1e-8).any()
+
+
+def test_ocp_state_bounds_active_set():
+    """State bounds on x_1..x_T via the reduced-gradient freeze: the
+    oscillator's velocity dips to ~-0.53 unconstrained; a lower bound
+    of -0.45 must clip the dip and reach the bound's KKT point."""
+    x_lb = jnp.array([-jnp.inf, -0.45])  # bound the velocity only
+    ocp = _make_ocp(x_lb=x_lb)
+    out = ocp_solve(ocp, max_iterations=120)
+    assert int(out.status) == Status.OPTIMAL
+    X = np.asarray(out.X)
+    assert (X[1:, 1] >= -0.45 - 1e-10).all()
+    # the bound must actually be active somewhere
+    assert (X[1:, 1] <= -0.45 + 1e-6).any()
+    # defects vanish at the solution (bounds respected by a feasible traj)
+    np.testing.assert_allclose(
+        np.asarray(ocp.residuals(out.X, out.U)), 0.0, atol=1e-6
+    )
+    # cross-check the objective against the generic solver
+    flat = _flat_problem()  # bounds applied per-coordinate below
+    import sleqp_tpu
+
+    n = T * NX + T * NU
+    var_lb = jnp.concatenate(
+        [jnp.tile(x_lb, T), jnp.full((T * NU,), -jnp.inf)]
+    )
+    flatb = sleqp_tpu.Problem(
+        flat.func,
+        var_lb=var_lb,
+        var_ub=jnp.full((n,), jnp.inf),
+        general_lb=jnp.zeros(T * NX),
+        general_ub=jnp.zeros(T * NX),
+    )
+    x0 = jnp.zeros((n,))
+    ref = nlp_solve(flatb, Settings(), x0, max_iterations=300)
+    assert int(ref.status) == Status.OPTIMAL
+    assert float(out.obj_val) == pytest.approx(
+        float(ref.it.obj_val), rel=1e-5, abs=1e-7
+    )
+
+
+def test_ocp_state_bounds_initial_clip():
+    """A rollout that violates the state box is clipped at init."""
+    ocp = _make_ocp(x_ub=jnp.array([0.8, jnp.inf]))  # rollout has pos 1.0
+    state0 = ocp_initial_state(ocp, Settings())
+    assert (np.asarray(state0.X[1:, 0]) <= 0.8 + 1e-12).all()
 
 
 def test_ocp_gauss_newton_mode():
