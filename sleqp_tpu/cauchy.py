@@ -244,7 +244,8 @@ def _try_warm_basis(
         def check_feasible(_):
             B = A[:, basis]
             xN = simplex._nonbasic_value(status, lb, ub)
-            xB = jnp.linalg.solve(B, -(A @ xN))
+            # QR-based solve: f64 LU does not compile on TPU (simplex.qr_solve)
+            xB = simplex.qr_solve(B, -(A @ xN))
             lbB, ubB = lb[basis], ub[basis]
             sane = jnp.all(jnp.isfinite(xB))  # nonsingular basis matrix
             primal = sane & jnp.all(

@@ -15,7 +15,7 @@ rows, so every row is an equality and row "basis status" is the status of
 its logical column.  Bounds use +-1e20 as infinity (types.INF).
 
 Algorithm: revised simplex with an explicitly maintained basis inverse
-(eta-style rank-1 updates, periodic refactorization via `jnp.linalg.solve`),
+(eta-style rank-1 updates, periodic refactorization via Householder QR),
 **Devex pricing** (Forrest-Goldfarb reference weights, the steepest-edge
 approximation used by production LP codes — measured ~2x fewer pivots than
 Dantzig on large penalty-LP geometry) with an automatic switch to Bland's rule
@@ -75,11 +75,24 @@ def _nonbasic_value(status: Array, lb: Array, ub: Array) -> Array:
     return val
 
 
+def qr_solve(B: Array, rhs: Array) -> Array:
+    """Dense solve via Householder QR.
+
+    Used instead of ``jnp.linalg.solve`` throughout the LP path: the TPU
+    compiler implements LuDecomposition only for F32/C64, while QR +
+    triangular solve lower to HLO for every float type — this keeps the
+    float64 solver compilable on real TPU chips.  Singular systems yield
+    inf/nan (callers check finiteness), matching LU behavior.
+    """
+    q, r = jnp.linalg.qr(B)
+    return jax.scipy.linalg.solve_triangular(r, q.T @ rhs)
+
+
 def _recompute(A: Array, basis: Array, status: Array, lb: Array, ub: Array):
     """Refactorize: B_inv and basic values from scratch."""
     B = A[:, basis]
     m = A.shape[0]
-    B_inv = jnp.linalg.solve(B, jnp.eye(m, dtype=A.dtype))
+    B_inv = qr_solve(B, jnp.eye(m, dtype=A.dtype))
     xN = _nonbasic_value(status, lb, ub)
     xB = -B_inv @ (A @ xN)
     return B_inv, xB
