@@ -51,6 +51,7 @@ from jax import lax
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from .ops.block_tridiag import block_tridiag_solve
+from .ops.pallas_tridiag import block_tridiag_solve_mp
 from .settings import Settings
 from .types import Status
 
@@ -307,6 +308,7 @@ def _structured_kkt_step(
     reg: Array,
     mesh=None,
     mesh_axis: str = "stages",
+    tridiag_backend: str = "scan",
 ):
     """Solve the equality-constrained QP via the dual Schur complement.
 
@@ -349,7 +351,12 @@ def _structured_kkt_step(
     rhs = c - (jnp.einsum("tij,tj->ti", Gm, hg[:T]) - hg[1:, :nx] * free_x)
 
     if mesh is None:
-        lam = block_tridiag_solve(S_diag, S_sub, rhs)
+        if tridiag_backend == "pallas":
+            # fused VMEM-resident Pallas Thomas kernel (float32) with
+            # iterative refinement back to the problem dtype
+            lam = block_tridiag_solve_mp(S_diag, S_sub, rhs)
+        else:
+            lam = block_tridiag_solve(S_diag, S_sub, rhs)
     else:
         from .parallel.schur import sharded_schur_solve
 
@@ -431,6 +438,7 @@ def ocp_perform_iteration(
     state: OCPState,
     mesh=None,
     mesh_axis: str = "stages",
+    tridiag_backend: str = "scan",
 ) -> OCPState:
     """One structured SQP iteration (problem_solver/iteration.c:350
     specialized to the block-structured subproblem layers)."""
@@ -461,7 +469,16 @@ def ocp_perform_iteration(
         )
 
     d, lam_qp = _structured_kkt_step(
-        problem, c, g, G, H, frozen, state.reg, mesh=mesh, mesh_axis=mesh_axis
+        problem,
+        c,
+        g,
+        G,
+        H,
+        frozen,
+        state.reg,
+        mesh=mesh,
+        mesh_axis=mesh_axis,
+        tridiag_backend=tridiag_backend,
     )
     step_ok = jnp.all(jnp.isfinite(d)) & jnp.all(jnp.isfinite(lam_qp))
     d = jnp.where(step_ok, d, 0.0)
@@ -569,7 +586,7 @@ def ocp_perform_iteration(
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
 def ocp_solve_jit(
     problem: BlockStructuredProblem,
     settings: Settings,
@@ -577,6 +594,7 @@ def ocp_solve_jit(
     max_iterations: int,
     mesh=None,
     mesh_axis: str = "stages",
+    tridiag_backend: str = "scan",
 ) -> OCPState:
     """Full structured solve as one compiled while_loop (solve.c:95-252)."""
 
@@ -585,7 +603,12 @@ def ocp_solve_jit(
 
     def body(s):
         return ocp_perform_iteration(
-            problem, settings, s, mesh=mesh, mesh_axis=mesh_axis
+            problem,
+            settings,
+            s,
+            mesh=mesh,
+            mesh_axis=mesh_axis,
+            tridiag_backend=tridiag_backend,
         )
 
     final = lax.while_loop(cond, body, state0)
@@ -608,13 +631,20 @@ def ocp_solve(
     max_iterations: int = 100,
     mesh=None,
     mesh_axis: str = "stages",
+    tridiag_backend: str = "scan",
 ) -> OCPState:
-    """Convenience driver: init + jitted structured solve."""
+    """Convenience driver: init + jitted structured solve.
+
+    ``tridiag_backend="pallas"`` routes the dual Schur-complement solve
+    through the fused VMEM-resident Pallas Thomas kernel
+    (ops/pallas_tridiag.py) with mixed-precision refinement.
+    """
     if settings is None:
         settings = Settings()
     state0 = ocp_initial_state(problem, settings, U0=U0, X0=X0)
     return ocp_solve_jit(
-        problem, settings, state0, max_iterations, mesh, mesh_axis
+        problem, settings, state0, max_iterations, mesh, mesh_axis,
+        tridiag_backend,
     )
 
 

@@ -1,0 +1,128 @@
+"""Pallas fused block-Thomas kernel vs the scan reference path.
+
+Runs in interpreter mode on the CPU test backend; the compiled path is
+identical modulo Mosaic lowering.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sleqp_tpu.ops.block_tridiag import block_tridiag_solve
+from sleqp_tpu.ops.pallas_tridiag import (
+    block_tridiag_factor_solve_pallas,
+    block_tridiag_matvec,
+    block_tridiag_resolve_pallas,
+    block_tridiag_solve_mp,
+    pallas_supported,
+)
+
+
+def _random_spd_block_tridiag(N, k, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((N, k, k))
+    D = D @ np.swapaxes(D, 1, 2) + (k + 2.0) * np.eye(k)
+    L = 0.3 * rng.standard_normal((N - 1, k, k))
+    b = rng.standard_normal((N, k))
+    return (
+        jnp.asarray(D, dtype),
+        jnp.asarray(L, dtype),
+        jnp.asarray(b, dtype),
+    )
+
+
+@pytest.mark.parametrize("N,k", [(5, 2), (9, 3), (16, 8)])
+def test_factor_solve_matches_scan(N, k):
+    D, L, b = _random_spd_block_tridiag(N, k, seed=N + k)
+    x_ref = block_tridiag_solve(D, L, b)
+    x32, Minv, Lp32 = block_tridiag_factor_solve_pallas(
+        D, L, b, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(x32), np.asarray(x_ref), rtol=2e-4, atol=2e-4
+    )
+    assert Minv.shape == (N, k, k)
+    assert Lp32.shape == (N, k, k)
+
+
+def test_resolve_reuses_factorization():
+    N, k = 7, 3
+    D, L, b = _random_spd_block_tridiag(N, k, seed=11)
+    _, Minv, Lp32 = block_tridiag_factor_solve_pallas(D, L, b, interpret=True)
+    rng = np.random.default_rng(1)
+    b2 = jnp.asarray(rng.standard_normal((N, k)))
+    x2 = block_tridiag_resolve_pallas(Minv, Lp32, b2, interpret=True)
+    x2_ref = block_tridiag_solve(D, L, b2)
+    np.testing.assert_allclose(
+        np.asarray(x2), np.asarray(x2_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_matvec_roundtrip():
+    N, k = 6, 4
+    D, L, b = _random_spd_block_tridiag(N, k, seed=5)
+    x = block_tridiag_solve(D, L, b)
+    np.testing.assert_allclose(
+        np.asarray(block_tridiag_matvec(D, L, x)),
+        np.asarray(b),
+        rtol=1e-10,
+        atol=1e-10,
+    )
+
+
+@pytest.mark.parametrize("rhs_cols", [None, 3])
+def test_mixed_precision_refinement_reaches_f64(rhs_cols):
+    N, k = 12, 4
+    D, L, b = _random_spd_block_tridiag(N, k, seed=7)
+    if rhs_cols is not None:
+        rng = np.random.default_rng(2)
+        b = jnp.asarray(rng.standard_normal((N, k, rhs_cols)))
+    x = block_tridiag_solve_mp(D, L, b, refine_iters=3, interpret=True)
+    assert x.dtype == jnp.float64
+    resid = b - block_tridiag_matvec(D, L, x)
+    scale = float(jnp.max(jnp.abs(b)))
+    assert float(jnp.max(jnp.abs(resid))) <= 1e-10 * max(scale, 1.0)
+
+
+def test_ocp_pallas_backend_matches_scan():
+    """End-to-end: the structured SQP solve through the Pallas KKT kernel
+    reaches the same KKT point as the scan path."""
+    from sleqp_tpu import Status
+    from sleqp_tpu.ocp import BlockStructuredProblem, ocp_solve
+
+    H = 0.1
+
+    def dynamics(x, u, t):
+        pos, vel = x[0], x[1]
+        acc = -jnp.sin(pos) - 0.1 * vel + u[0]
+        return jnp.array([pos + H * vel, vel + H * acc])
+
+    def stage_cost(x, u, t):
+        return 0.5 * (jnp.vdot(x, x) + 0.1 * jnp.vdot(u, u))
+
+    ocp = BlockStructuredProblem(
+        dynamics,
+        stage_cost,
+        num_stages=8,
+        num_states=2,
+        num_controls=1,
+        x0=jnp.array([1.0, 0.0]),
+    )
+    ref = ocp_solve(ocp, max_iterations=50)
+    out = ocp_solve(ocp, max_iterations=50, tridiag_backend="pallas")
+    assert int(out.status) == Status.OPTIMAL
+    assert float(out.feas_res) <= 1e-6
+    assert float(out.stat_res) <= 1e-6
+    np.testing.assert_allclose(
+        np.asarray(out.U), np.asarray(ref.U), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fallback_when_unsupported():
+    # k beyond the unroll limit falls back to the scan path in full dtype
+    N, k = 4, 40
+    D, L, b = _random_spd_block_tridiag(N, k, seed=9)
+    assert not pallas_supported(N, k)
+    x = block_tridiag_solve_mp(D, L, b, interpret=True)
+    x_ref = block_tridiag_solve(D, L, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-12)
