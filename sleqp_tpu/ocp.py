@@ -362,7 +362,10 @@ def _structured_kkt_step(
 
         P_devices = mesh.shape[mesh_axis]
         Sd, Ss, r, n_true = _pad_tridiag(S_diag, S_sub, rhs, P_devices)
-        lam = sharded_schur_solve(Sd, Ss, r, mesh, axis_name=mesh_axis)
+        lam = sharded_schur_solve(
+            Sd, Ss, r, mesh, axis_name=mesh_axis,
+            tridiag_backend=tridiag_backend,
+        )
         lam = lam[:n_true]
 
     # d = -H^-1 (g + J^T lam)

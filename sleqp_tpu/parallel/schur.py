@@ -27,6 +27,7 @@ from ..ops.block_tridiag import (
     block_thomas_solve,
     block_tridiag_solve,
 )
+from ..ops.pallas_tridiag import block_tridiag_solve_mp
 
 Array = jax.Array
 
@@ -86,18 +87,40 @@ def _local_contributions(D_c, L_c, b_c, E_p, F_p):
     return u, VL, VR, (right_diag, left_diag, off, rhs_right_sep, rhs_left_sep)
 
 
+def _local_contributions_pallas(D_c, L_c, b_c, E_p, F_p):
+    """Interior elimination through the fused Pallas kernel: the raw rhs
+    and both coupling column sets solve against ONE factorization pass
+    (a single stacked (1+2k)-column rhs)."""
+    nin, k = b_c.shape
+    rhs_left = jnp.zeros((nin, k, k), D_c.dtype).at[0].set(F_p)
+    rhs_right = jnp.zeros((nin, k, k), D_c.dtype).at[-1].set(E_p.T)
+    B = jnp.concatenate([b_c[:, :, None], rhs_left, rhs_right], axis=-1)
+    X = block_tridiag_solve_mp(D_c, L_c, B, refine_iters=3)
+    u, VL, VR = X[..., 0], X[..., 1 : 1 + k], X[..., 1 + k :]
+
+    right_diag = E_p @ VR[-1]
+    left_diag = F_p.T @ VL[0]
+    off = E_p @ VL[-1]
+    rhs_right_sep = E_p @ u[-1]
+    rhs_left_sep = F_p.T @ u[0]
+    return u, VL, VR, (right_diag, left_diag, off, rhs_right_sep, rhs_left_sep)
+
+
 def sharded_schur_solve(
     D: Array,
     L: Array,
     b: Array,
     mesh: Mesh,
     axis_name: str = "chunks",
+    tridiag_backend: str = "scan",
 ):
     """Solve the SPD block-tridiagonal system across a device mesh.
 
     The chunk dimension is sharded over ``axis_name``; separator data is
     gathered with `all_gather` and the small separator system is solved
-    replicated on every device.
+    replicated on every device.  ``tridiag_backend="pallas"`` runs each
+    device's interior elimination through the fused VMEM-resident kernel
+    (ops/pallas_tridiag.py).
     """
     Pc = mesh.shape[axis_name]
     (
@@ -116,6 +139,12 @@ def sharded_schur_solve(
 
     spec_ch = P(axis_name)
 
+    local = (
+        _local_contributions_pallas
+        if tridiag_backend == "pallas"
+        else _local_contributions
+    )
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -125,9 +154,7 @@ def sharded_schur_solve(
     )
     def run(D_c, L_c, b_c, E_p, F_p, D_s, b_s):
         # leading dim is the local shard (size 1 per device here)
-        u, VL, VR, contribs = jax.vmap(_local_contributions)(
-            D_c, L_c, b_c, E_p, F_p
-        )
+        u, VL, VR, contribs = jax.vmap(local)(D_c, L_c, b_c, E_p, F_p)
         right_diag, left_diag, off, rhs_r, rhs_l = contribs
 
         # gather all per-chunk contributions + separator data

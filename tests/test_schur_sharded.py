@@ -34,6 +34,19 @@ def test_sharded_matches_sequential(c, k):
     np.testing.assert_allclose(np.asarray(x_par), np.asarray(x_seq), atol=1e-8)
 
 
+def test_sharded_pallas_interiors_match_sequential():
+    """Per-device interior elimination through the fused Pallas kernel
+    (mixed-precision) reproduces the sequential float64 solution."""
+    P, c, k = 8, 4, 3
+    N = P * c - 1
+    D, L, b = _random_spd(N, k, seed=17)
+    mesh = Mesh(np.array(jax.devices()[:P]), axis_names=("chunks",))
+
+    x_seq = block_tridiag_solve(D, L, b)
+    x_par = sharded_schur_solve(D, L, b, mesh, tridiag_backend="pallas")
+    np.testing.assert_allclose(np.asarray(x_par), np.asarray(x_seq), atol=1e-8)
+
+
 def test_sharded_under_jit():
     P, c, k = 8, 6, 2
     N = P * c - 1
