@@ -59,6 +59,13 @@ class Func:
     * ``psd_hessian``: declares the Hessian positive semidefinite
       (reference flag SLEQP_FUNC_HESS_PSD, func.h:18) — selects the CG TR
       solver automatically (newton.c:96-106).
+    * ``accept_point``: optional x -> bool predicate; returning False
+      rejects the trial point (the step is discarded and the trust radius
+      shrinks).  TPU-native analogue of the reference ``set_value``
+      reject flag (pub_func.h:40-44, handled in
+      problem_solver/iteration.c:15-43): under jit the user cannot raise,
+      so rejection is a traced predicate.  Non-finite objective or
+      constraint values at a trial point are rejected unconditionally.
     """
 
     def __init__(
@@ -72,6 +79,7 @@ class Func:
         hess_prod: Optional[Callable[[Array, Array, Array], Array]] = None,
         psd_hessian: bool = False,
         hess_struct: Optional[tuple] = None,
+        accept_point: Optional[Callable[[Array], Array]] = None,
     ):
         """``hess_struct``: optional tuple of (start, end) index ranges
         declaring a block-diagonal Lagrangian Hessian (reference
@@ -110,7 +118,15 @@ class Func:
         else:
             self._cons_jac = None
         self._hess_prod = hess_prod
+        self._accept_point = accept_point
         self.psd_hessian = bool(psd_hessian)
+
+    def point_valid(self, x: Array) -> Array:
+        """Traced user acceptance predicate (reference set_value reject,
+        pub_func.h:40-44).  True when no predicate is installed."""
+        if self._accept_point is None:
+            return jnp.asarray(True)
+        return jnp.reshape(jnp.asarray(self._accept_point(x)), ())
 
     def obj_val(self, x: Array) -> Array:
         return jnp.asarray(self._obj(x))
