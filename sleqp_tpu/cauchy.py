@@ -188,7 +188,7 @@ def _try_warm_basis(
     saved: CauchyBasis,
     n: int,
     m: int,
-    feas_tol: float = 1e-9,
+    feas_tol: float | None = None,
     allow_dual: bool = True,
 ):
     """Validate a saved basis; repair instead of discarding on failure.
@@ -211,6 +211,8 @@ def _try_warm_basis(
     * otherwise -> crash-repair keeping the d-column statuses (the
       active-set estimate) while re-slacking the row block.
     """
+    if feas_tol is None:
+        feas_tol = simplex.default_tols(A.dtype)["feas_tol"]
     false = jnp.asarray(False)
 
     def repaired(_):
@@ -291,6 +293,7 @@ def solve_cauchy_lp(
     dual_warm_start: bool = True,
     lp_solver: LPSolver = LPSolver.SIMPLEX,
     pdlp_tol: float = 1e-9,
+    compute_dtype=None,
 ) -> CauchyResult:
     """One LP solve + full extraction (standard_cauchy.c:843-1462).
 
@@ -304,6 +307,16 @@ def solve_cauchy_lp(
     m, n = it.cons_jac.shape
     A, lb, ub = _lp_data(data, it, trust_radius)
     c = _objective(it, penalty, feasibility_mode)
+
+    # Mixed precision: run the sequential pivoting loops in the compute
+    # dtype (float32 on TPU — the basis/status outcome is combinatorial),
+    # then refine every numeric quantity in the state dtype.
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else A.dtype
+    mixed = cd != A.dtype
+    if mixed:
+        A_c, lb_c, ub_c, c_c = (z.astype(cd) for z in (A, lb, ub, c))
+    else:
+        A_c, lb_c, ub_c, c_c = A, lb, ub, c
 
     if lp_solver == LPSolver.PDLP:
         # First-order backend for huge LPs: restarted-average PDHG (pure
@@ -342,7 +355,7 @@ def solve_cauchy_lp(
         )
 
     basis0, status0, use_dual = _try_warm_basis(
-        A, lb, ub, c, saved_basis, n, m, allow_dual=dual_warm_start
+        A_c, lb_c, ub_c, c_c, saved_basis, n, m, allow_dual=dual_warm_start
     )
 
     if max_iterations < 0:
@@ -356,10 +369,10 @@ def solve_cauchy_lp(
             # warm pivots should be O(#violated rows); cap the stage so a
             # cold-in-disguise basis cannot eat the whole pivot budget
             dres = simplex.solve_dual(
-                A,
-                c,
-                lb,
-                ub,
+                A_c,
+                c_c,
+                lb_c,
+                ub_c,
                 saved_basis.basis,
                 saved_basis.status,
                 max_iterations=min(max_iterations, 4 * m + 50),
@@ -380,8 +393,10 @@ def solve_cauchy_lp(
         dual_iters = jnp.asarray(0, jnp.int32)
 
     res = simplex.solve(
-        A, c, lb, ub, basis1, status1, max_iterations=max_iterations
+        A_c, c_c, lb_c, ub_c, basis1, status1, max_iterations=max_iterations
     )
+    if mixed:
+        res = simplex.refine_result(A, c, lb, ub, res)
     return _extract(
         data, it, trust_radius, penalty, res, saved_basis,
         A, lb, ub, c, n, m,
@@ -391,6 +406,7 @@ def solve_cauchy_lp(
         max_iterations=max_iterations,
         dual_iters=dual_iters,
         keep_saved_basis=False,
+        compute_dtype=cd,
     )
 
 
@@ -414,6 +430,7 @@ def _extract(
     max_iterations: int,
     dual_iters: Array,
     keep_saved_basis: bool,
+    compute_dtype=None,
 ) -> CauchyResult:
     """Working set / duals / infeasibility extraction shared by the
     simplex and PDLP backends (standard_cauchy.c:960-1462)."""
@@ -437,7 +454,8 @@ def _extract(
             d_reduced_costs,
             extra_iters,
         ) = _maybe_reduced_resolve(
-            it, A, lb, ub, c, res, zero_slacks, n, m, max_iterations
+            it, A, lb, ub, c, res, zero_slacks, n, m, max_iterations,
+            compute_dtype=compute_dtype,
         )
     else:
         w_status_eff = w_status
@@ -542,6 +560,7 @@ def _maybe_reduced_resolve(
     n: int,
     m: int,
     max_iterations: int,
+    compute_dtype=None,
 ):
     """Degenerate-basis tie-breaking via the reduced LP
     (standard_cauchy.c:566-788).
@@ -603,15 +622,22 @@ def _maybe_reduced_resolve(
         ).astype(jnp.int8)
         status_red = jnp.concatenate([d_status_main, w_status_red])
 
+        cd = (
+            jnp.dtype(compute_dtype)
+            if compute_dtype is not None
+            else A_red.dtype
+        )
         red = simplex.solve(
-            A_red,
-            c_red,
-            lb_red,
-            ub_red,
+            A_red.astype(cd),
+            c_red.astype(cd),
+            lb_red.astype(cd),
+            ub_red.astype(cd),
             basis_red,
             status_red,
             max_iterations=max_iterations,
         )
+        if cd != A_red.dtype:
+            red = simplex.refine_result(A_red, c_red, lb_red, ub_red, red)
         # reduced working set uses slack *values* for tightness
         # (get_reduced_working_set, standard_cauchy.c:1086-1128)
         return (

@@ -129,6 +129,8 @@ def compute_newton_step(
     penalty: Array,
     max_iterations: int,
     use_gltr: bool = False,
+    compute_dtype=None,
+    hess_prod_compute: Callable[[Array], Array] | None = None,
 ) -> NewtonResult:
     """EQP direction (newton.c:443-556 newton_solver_compute_direction).
 
@@ -136,30 +138,76 @@ def compute_newton_step(
     (cons_dual + penalty*violated, newton.c:194-216).  ``use_gltr``
     selects the Lanczos/More-Sorensen solver (trlib equivalent) instead
     of Steihaug projected CG (newton.c:96-106 auto-selection).
+
+    With ``compute_dtype`` (mixed precision): the EQP gradient and the
+    final direction stay in the state dtype, while the Krylov loop — the
+    per-iteration hess_prod + nullspace projection hot path — runs in the
+    compute dtype.  ``hess_prod_compute`` should be a natively-low-
+    precision Hessian operator (AD traced at the cast iterate); falling
+    back to casting around ``hess_prod`` would re-introduce emulated
+    float64 ops inside the loop.
     """
+    sdtype = it.obj_grad.dtype
     gradient = (
         it.obj_grad
         + hess_prod(ws.step)
         + penalty * (it.cons_jac.T @ ws.violated_mult)
     )
 
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else sdtype
+    if cd != sdtype:
+        hp_c = hess_prod_compute or (
+            lambda d: hess_prod(d.astype(sdtype)).astype(cd)
+        )
+        aug_c = AugJac(
+            chol=aug_jac.chol.astype(cd),
+            cons_jac=aug_jac.cons_jac.astype(cd),
+            active_var=aug_jac.active_var.astype(cd),
+            active_cons=aug_jac.active_cons.astype(cd),
+        )
+        grad_c = gradient.astype(cd)
+        rad_c = ws.reduced_trust_radius.astype(cd)
+        # Near convergence P g cancels catastrophically; do the initial
+        # projection at full precision and hand it to the Krylov loop.
+        from .ops.kkt import project_nullspace
+
+        p0 = project_nullspace(aug_jac, gradient).astype(cd)
+    else:
+        hp_c, aug_c, grad_c, rad_c = (
+            hess_prod,
+            aug_jac,
+            gradient,
+            ws.reduced_trust_radius,
+        )
+        p0 = None
+
     if use_gltr:
         from .ops.gltr import gltr
 
         tr = gltr(
-            hess_prod,
-            aug_jac,
-            gradient,
-            ws.reduced_trust_radius,
+            hp_c,
+            aug_c,
+            grad_c,
+            rad_c,
             max_iterations=max_iterations,
+            p0=p0,
         )
     else:
         tr = steihaug_cg(
-            hess_prod,
-            aug_jac,
-            gradient,
-            ws.reduced_trust_radius,
+            hp_c,
+            aug_c,
+            grad_c,
+            rad_c,
             max_iterations=max_iterations,
+            p0=p0,
+        )
+    if cd != sdtype:
+        tr = TRResult(
+            step=tr.step.astype(sdtype),
+            on_boundary=tr.on_boundary,
+            iterations=tr.iterations,
+            min_rayleigh=tr.min_rayleigh.astype(sdtype),
+            max_rayleigh=tr.max_rayleigh.astype(sdtype),
         )
     # Degenerate radius: only the initial step survives (newton.c:501-508)
     zero_radius = ws.reduced_trust_radius <= 1e-20

@@ -183,17 +183,30 @@ def gltr(
     radius: Array,
     max_iterations: int,
     rel_tol: float = 1e-8,
+    p0: Array | None = None,
 ) -> TRResult:
-    """GLTR solve; interface mirrors steihaug_cg."""
+    """GLTR solve; interface mirrors steihaug_cg.
+
+    ``p0`` optionally supplies the initial nullspace projection of the
+    gradient (the mixed-precision caller computes it in float64: near
+    convergence ``P g`` is a catastrophic cancellation of O(|g|) terms,
+    and a float32 projection poisons the whole Krylov basis).
+    """
     n = gradient.shape[0]
     dtype = gradient.dtype
     radius = jnp.asarray(radius, dtype=dtype)
     K = min(max(int(max_iterations), 1), n + 1)
 
-    p0 = project_nullspace(aug_jac, gradient)
+    if p0 is None:
+        p0 = project_nullspace(aug_jac, gradient)
+    else:
+        p0 = p0.astype(dtype)
     gamma0 = jnp.linalg.norm(p0)
     eps = float(jnp.finfo(dtype).eps)
-    tol = max(rel_tol, 10.0 * eps) * jnp.maximum(gamma0, 1.0)
+    # Relative termination (trlib semantics: residual vs ||P g||); an
+    # absolute floor of max(gamma0, 1) would cap the achievable Newton
+    # accuracy at ~eps near convergence, stalling above stat_tol.
+    tol = max(rel_tol, 10.0 * eps) * gamma0
     trivial = gamma0 <= jnp.finfo(dtype).tiny
 
     v1 = p0 / jnp.where(trivial, 1.0, gamma0)

@@ -66,6 +66,21 @@ def _finite(v: Array) -> Array:
     return jnp.abs(v) < INF_THRESHOLD
 
 
+def default_tols(dtype) -> dict:
+    """Pivoting tolerances by working precision.
+
+    The float64 values are the tuned defaults of round 1; the float32
+    values back off to ~100x machine eps — the compute-precision path
+    (mixed-precision solves) refines every numeric quantity in float64
+    afterwards, so the float32 run only needs to get the *basis* right.
+    """
+    if jnp.dtype(dtype) == jnp.float32:
+        return dict(
+            opt_tol=1e-5, piv_tol=1e-6, feas_tol=1e-5, degen_tol=1e-7
+        )
+    return dict(opt_tol=1e-9, piv_tol=1e-11, feas_tol=1e-9, degen_tol=1e-12)
+
+
 def _nonbasic_value(status: Array, lb: Array, ub: Array) -> Array:
     """Value each nonbasic column rests at (basic columns -> 0 here)."""
     at_lower = jnp.where(_finite(lb), lb, 0.0)
@@ -113,8 +128,8 @@ def solve_dual(
     basis: Array,
     status: Array,
     max_iterations: int,
-    feas_tol: float = 1e-9,
-    piv_tol: float = 1e-11,
+    feas_tol: float | None = None,
+    piv_tol: float | None = None,
     refactor_every: int = 64,
     bland_after: int = 100,
 ) -> DualStageResult:
@@ -137,6 +152,9 @@ def solve_dual(
     """
     m, N = A.shape
     dtype = A.dtype
+    tols = default_tols(dtype)
+    feas_tol = tols["feas_tol"] if feas_tol is None else feas_tol
+    piv_tol = tols["piv_tol"] if piv_tol is None else piv_tol
     basis = jnp.asarray(basis, dtype=jnp.int32)
     status = jnp.asarray(status, dtype=jnp.int8)
 
@@ -281,8 +299,8 @@ def solve(
     basis: Array,
     status: Array,
     max_iterations: int,
-    opt_tol: float = 1e-9,
-    piv_tol: float = 1e-11,
+    opt_tol: float | None = None,
+    piv_tol: float | None = None,
     refactor_every: int = 64,
     bland_after: int = 100,
 ) -> SimplexResult:
@@ -293,6 +311,10 @@ def solve(
     """
     m, N = A.shape
     dtype = A.dtype
+    tols = default_tols(dtype)
+    opt_tol = tols["opt_tol"] if opt_tol is None else opt_tol
+    piv_tol = tols["piv_tol"] if piv_tol is None else piv_tol
+    degen_tol = tols["degen_tol"]
     basis = jnp.asarray(basis, dtype=jnp.int32)
     status = jnp.asarray(status, dtype=jnp.int8)
 
@@ -460,7 +482,7 @@ def solve(
             do_refac, refac, lambda _: (B_inv_next, xB_next), operand=None
         )
 
-        degenerate = t_safe <= 1e-12
+        degenerate = t_safe <= degen_tol
         stall_next = jnp.where(
             optimal | unbounded,
             s["stall"],
@@ -512,6 +534,43 @@ def solve(
         obj=jnp.vdot(c, x),
         state=state,
         iterations=final["it"],
+        condition=condition,
+    )
+
+
+def refine_result(
+    A: Array, c: Array, lb: Array, ub: Array, res: SimplexResult
+) -> SimplexResult:
+    """Recompute all numeric quantities of ``res`` in the dtype of ``A``.
+
+    The mixed-precision LP path runs the pivoting loops in float32 (the
+    basis/status outcome is combinatorial) and calls this once with the
+    float64 LP data: one QR factorization of the final basis reproduces
+    primal values, duals, and reduced costs at full precision — the same
+    refactor-on-exit a production LP code performs.
+    """
+    basis = res.basis
+    status = res.status
+    B = A[:, basis]
+    m = A.shape[0]
+    B_inv = qr_solve(B, jnp.eye(m, dtype=A.dtype))
+    xN = _nonbasic_value(status, lb, ub)
+    xB = -B_inv @ (A @ xN)
+    x = xN.at[basis].set(xB)
+    y = c[basis] @ B_inv
+    r = c - y @ A
+    condition = jnp.sum(jnp.abs(B), axis=0).max() * jnp.sum(
+        jnp.abs(B_inv), axis=0
+    ).max()
+    return SimplexResult(
+        x=x,
+        duals=y,
+        reduced_costs=r,
+        status=status,
+        basis=basis,
+        obj=jnp.vdot(c, x),
+        state=res.state,
+        iterations=res.iterations,
         condition=condition,
     )
 

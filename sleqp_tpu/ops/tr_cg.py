@@ -58,17 +58,24 @@ def steihaug_cg(
     max_iterations: int,
     rel_tol: float = 1e-8,
     abs_tol: float = 1e-12,
+    p0: Array | None = None,
 ) -> TRResult:
     """Projected CG with Steihaug boundary handling.
 
     ``hess_prod`` maps d -> H d (Hessian of the Lagrangian; may be
     indefinite).  ``gradient`` is the EQP gradient (newton.c:357-397).
+    ``p0`` optionally supplies the initial nullspace projection (see
+    gltr: the mixed-precision caller passes a float64-computed one).
     """
     n = gradient.shape[0]
     dtype = gradient.dtype
     radius = jnp.asarray(radius, dtype=dtype)
 
-    z0 = project_nullspace(aug_jac, gradient)
+    z0 = (
+        project_nullspace(aug_jac, gradient)
+        if p0 is None
+        else p0.astype(dtype)
+    )
     rz0 = jnp.vdot(gradient, z0)
     # Tolerance on the projected-gradient norm (residual in the null space).
     tol_sq = jnp.maximum(rel_tol * rel_tol * jnp.abs(rz0), abs_tol * abs_tol)

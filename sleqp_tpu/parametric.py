@@ -44,6 +44,7 @@ def parametric_solve(
     settings_eps: float,
     lp_solver: LPSolver = LPSolver.SIMPLEX,
     pdlp_tol: float = 1e-9,
+    compute_dtype=None,
 ):
     """Returns (cres, lp_trust_radius, direction, quad_merit, full_step)."""
     increase, decrease, max_resolves = _PARAMS[mode]
@@ -76,6 +77,7 @@ def parametric_solve(
             settings_eps=settings_eps,
             lp_solver=lp_solver,
             pdlp_tol=pdlp_tol,
+            compute_dtype=compute_dtype,
         )
 
     def forward(_):

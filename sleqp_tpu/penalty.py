@@ -36,6 +36,7 @@ def update_penalty(
     current: CauchyResult,
     lp_solver: LPSolver = LPSolver.SIMPLEX,
     pdlp_tol: float = 1e-9,
+    compute_dtype=None,
 ) -> tuple[Array, CauchyResult, Array]:
     """Returns (new_penalty, cauchy_result_at_new_penalty, changed).
 
@@ -61,6 +62,7 @@ def update_penalty(
             lp_resolves=False,
             lp_solver=lp_solver,
             pdlp_tol=pdlp_tol,
+            compute_dtype=compute_dtype,
         )
 
     def no_change(_):

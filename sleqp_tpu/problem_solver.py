@@ -248,6 +248,15 @@ def perform_iteration(
     n = problem.num_variables
     m = problem.num_cons
     dtype = problem.dtype
+    # Mixed precision (static): inner sequential solvers run in float32,
+    # certified quantities (residuals, duals, merit) stay in the state
+    # dtype.  None = single-precision path disabled / already float32.
+    cdtype = (
+        jnp.float32
+        if settings.compute_dtype == "float32"
+        and jnp.dtype(dtype) != jnp.float32
+        else None
+    )
 
     # ---- dynamic functions: refresh the iterate at a tightened bound --
     from .dyn import DynFunc, required_error_bound
@@ -308,6 +317,7 @@ def perform_iteration(
             dual_warm_start=settings.lp_dual_warm_start,
             lp_solver=lp_backend,
             pdlp_tol=settings.pdlp_tol,
+            compute_dtype=cdtype,
         )
 
         # Byrd penalty update when infeasible (cauchy_step.c:80-88)
@@ -315,6 +325,7 @@ def perform_iteration(
             return update_penalty(
                 data, it, state.lp_trust_radius, penalty, cres,
                 lp_solver=lp_backend, pdlp_tol=settings.pdlp_tol,
+                compute_dtype=cdtype,
             )
 
         def keep(_):
@@ -442,6 +453,7 @@ def perform_iteration(
             settings.eps,
             lp_solver=lp_backend,
             pdlp_tol=settings.pdlp_tol,
+            compute_dtype=cdtype,
         )
         # re-extract the working set at the accepted radius and rebuild
         # the KKT factorization + working step (cauchy_step.c:205-231)
@@ -449,8 +461,11 @@ def perform_iteration(
             it, var_states=cres.var_states, cons_states=cres.cons_states
         )
         aug_jac = aug_jac_create(
-        it.cons_jac, it.var_states, it.cons_states, method=_aug_jac_method(settings)
-    )
+            it.cons_jac,
+            it.var_states,
+            it.cons_states,
+            method=_aug_jac_method(settings),
+        )
         ws = compute_working_step(
             data, it, aug_jac, state.trust_radius, settings.eps
         )
@@ -506,6 +521,33 @@ def perform_iteration(
                 settings.tr_solver == TRSolver.AUTO
                 and not problem.func.psd_hessian
             )
+            # Natively-float32 Hessian operator for the mixed-precision
+            # Krylov loop: AD traced at the cast iterate (exact mode) or a
+            # cast QN ring buffer, so the loop contains no emulated-f64 ops.
+            hess_prod_c = None
+            if cdtype is not None:
+                if settings.hess_eval == HessEval.EXACT:
+                    if not is_dynamic:
+                        x_c = it.x.astype(cdtype)
+
+                        def hess_prod_c(d, _x=x_c):
+                            return problem.hess_prod(
+                                _x, d, multipliers.astype(cdtype)
+                            )
+
+                else:
+                    qn_c = jax.tree_util.tree_map(
+                        lambda a: a.astype(cdtype)
+                        if jnp.issubdtype(a.dtype, jnp.floating)
+                        else a,
+                        qn,
+                    )
+
+                    def hess_prod_c(d, _q=qn_c):
+                        return qn_product(
+                            _q, d, settings.hess_eval, blocks=qn_blocks
+                        )
+
             newton = compute_newton_step(
                 data,
                 it,
@@ -515,6 +557,8 @@ def perform_iteration(
                 penalty,
                 settings.max_newton_iterations,
                 use_gltr=use_gltr,
+                compute_dtype=cdtype,
+                hess_prod_compute=hess_prod_c,
             )
         from .types import Linesearch
 

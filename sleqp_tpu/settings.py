@@ -95,6 +95,12 @@ class Settings:
     pdlp_tol: float = 1e-9
     # dtype for all numerics ("float64" or "float32").
     dtype: str = "float64"
+    # Working precision of the sequential inner solvers (simplex pivoting,
+    # Krylov/GLTR trust-region loop): "same" keeps the state dtype;
+    # "float32" runs them in single precision with float64 refinement of
+    # every certified quantity (duals, residuals, LP extraction) — the
+    # TPU-native fast path, since TPUs emulate float64 in software.
+    compute_dtype: str = "same"
 
     def replace(self, **kwargs: Any) -> "Settings":
         return dataclasses.replace(self, **kwargs)
