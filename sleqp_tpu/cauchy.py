@@ -308,16 +308,6 @@ def solve_cauchy_lp(
     A, lb, ub = _lp_data(data, it, trust_radius)
     c = _objective(it, penalty, feasibility_mode)
 
-    # Mixed precision: run the sequential pivoting loops in the compute
-    # dtype (float32 on TPU — the basis/status outcome is combinatorial),
-    # then refine every numeric quantity in the state dtype.
-    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else A.dtype
-    mixed = cd != A.dtype
-    if mixed:
-        A_c, lb_c, ub_c, c_c = (z.astype(cd) for z in (A, lb, ub, c))
-    else:
-        A_c, lb_c, ub_c, c_c = A, lb, ub, c
-
     if lp_solver == LPSolver.PDLP:
         # First-order backend for huge LPs: restarted-average PDHG (pure
         # matvecs on the MXU, no sequential pivot chain).  No simplex
@@ -353,6 +343,19 @@ def solve_cauchy_lp(
             dual_iters=jnp.asarray(0, jnp.int32),
             keep_saved_basis=True,
         )
+
+    # Mixed precision: run the sequential pivoting loops in the compute
+    # dtype (float32 on TPU — the basis/status outcome is combinatorial),
+    # then escalate back to the state dtype: refactor the final basis and
+    # finish with exact dual/primal pivots (simplex.polish_full_precision).
+    # The PDLP backend above ignores compute_dtype (first-order kernel;
+    # its own Ruiz scaling governs its precision behavior).
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else A.dtype
+    mixed = cd != A.dtype
+    if mixed:
+        A_c, lb_c, ub_c, c_c = (z.astype(cd) for z in (A, lb, ub, c))
+    else:
+        A_c, lb_c, ub_c, c_c = A, lb, ub, c
 
     basis0, status0, use_dual = _try_warm_basis(
         A_c, lb_c, ub_c, c_c, saved_basis, n, m, allow_dual=dual_warm_start
@@ -396,7 +399,9 @@ def solve_cauchy_lp(
         A_c, c_c, lb_c, ub_c, basis1, status1, max_iterations=max_iterations
     )
     if mixed:
-        res = simplex.refine_result(A, c, lb, ub, res)
+        res = simplex.polish_full_precision(
+            A, c, lb, ub, res, max_iterations=max_iterations
+        )
     return _extract(
         data, it, trust_radius, penalty, res, saved_basis,
         A, lb, ub, c, n, m,
@@ -637,7 +642,10 @@ def _maybe_reduced_resolve(
             max_iterations=max_iterations,
         )
         if cd != A_red.dtype:
-            red = simplex.refine_result(A_red, c_red, lb_red, ub_red, red)
+            red = simplex.polish_full_precision(
+                A_red, c_red, lb_red, ub_red, red,
+                max_iterations=max_iterations,
+            )
         # reduced working set uses slack *values* for tightness
         # (get_reduced_working_set, standard_cauchy.c:1086-1128)
         return (

@@ -205,8 +205,13 @@ def gltr(
     eps = float(jnp.finfo(dtype).eps)
     # Relative termination (trlib semantics: residual vs ||P g||); an
     # absolute floor of max(gamma0, 1) would cap the achievable Newton
-    # accuracy at ~eps near convergence, stalling above stat_tol.
-    tol = max(rel_tol, 10.0 * eps) * gamma0
+    # accuracy at ~eps near convergence, stalling above stat_tol.  A
+    # denormal-scale floor keeps the test firing for tiny-but-nonzero
+    # gamma0, where a pure-relative tol underflows and every such solve
+    # would burn the full iteration budget.
+    tol = jnp.maximum(
+        max(rel_tol, 10.0 * eps) * gamma0, 100.0 * jnp.finfo(dtype).tiny
+    )
     trivial = gamma0 <= jnp.finfo(dtype).tiny
 
     v1 = p0 / jnp.where(trivial, 1.0, gamma0)

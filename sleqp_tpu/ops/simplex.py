@@ -548,6 +548,11 @@ def refine_result(
     float64 LP data: one QR factorization of the final basis reproduces
     primal values, duals, and reduced costs at full precision — the same
     refactor-on-exit a production LP code performs.
+
+    A basis that is singular at full precision yields inf/nan from the
+    QR solve; those results are zeroed and the state demoted to
+    ITERATION_LIMIT so the caller neither extracts a poisoned working
+    set nor saves the basis for warm starts.
     """
     basis = res.basis
     status = res.status
@@ -562,16 +567,73 @@ def refine_result(
     condition = jnp.sum(jnp.abs(B), axis=0).max() * jnp.sum(
         jnp.abs(B_inv), axis=0
     ).max()
+    finite = (
+        jnp.all(jnp.isfinite(x))
+        & jnp.all(jnp.isfinite(y))
+        & jnp.all(jnp.isfinite(r))
+    )
     return SimplexResult(
-        x=x,
-        duals=y,
-        reduced_costs=r,
+        x=jnp.where(finite, x, 0.0),
+        duals=jnp.where(finite, y, 0.0),
+        reduced_costs=jnp.where(finite, r, 0.0),
         status=status,
         basis=basis,
-        obj=jnp.vdot(c, x),
-        state=res.state,
+        obj=jnp.where(finite, jnp.vdot(c, x), 0.0),
+        state=jnp.where(finite, res.state, ITERATION_LIMIT).astype(jnp.int32),
         iterations=res.iterations,
-        condition=condition,
+        condition=jnp.where(finite, condition, jnp.inf),
+    )
+
+
+def polish_full_precision(
+    A: Array,
+    c: Array,
+    lb: Array,
+    ub: Array,
+    res: SimplexResult,
+    max_iterations: int,
+) -> SimplexResult:
+    """Precision escalation after a low-precision solve.
+
+    The LP analogue of iterative refinement (what SoPlex does when asked
+    for tighter-than-double accuracy): take the basis selected by the
+    float32 pivoting loops and finish the solve in the full-precision
+    dtype of ``A`` — a dual-simplex stage restores exact primal
+    feasibility of the basis, then a primal pass repairs any basis
+    decisions that fell inside the float32 tolerances (near convergence
+    the Cauchy LP's reduced costs shrink to the stationarity-residual
+    scale ~1e-6, *below* what float32 pricing against O(penalty) data
+    can resolve — the escalation recovers them with a handful of exact
+    pivots).  When the low-precision basis is already optimal at full
+    precision both stages exit after a single bound/pricing check.
+
+    Falls back to :func:`refine_result` when the dual stage cannot
+    restore feasibility (singular or badly mangled basis).
+    """
+    dres = solve_dual(
+        A, c, lb, ub, res.basis, res.status, max_iterations=max_iterations
+    )
+
+    def finish(_):
+        out = solve(
+            A,
+            c,
+            lb,
+            ub,
+            dres.basis,
+            dres.status,
+            max_iterations=max_iterations,
+        )
+        return out
+
+    def fallback(_):
+        out = refine_result(A, c, lb, ub, res)
+        # align the iteration counter pytree with the finish branch
+        return out._replace(iterations=jnp.asarray(0, jnp.int32))
+
+    out = lax.cond(dres.state == OPTIMAL, finish, fallback, None)
+    return out._replace(
+        iterations=res.iterations + dres.iterations + out.iterations
     )
 
 

@@ -102,6 +102,19 @@ class Settings:
     # TPU-native fast path, since TPUs emulate float64 in software.
     compute_dtype: str = "same"
 
+    def __post_init__(self) -> None:
+        # Validate eagerly: a typo ("fp32") silently resolving to the
+        # full-precision path would defeat the point of the setting.
+        if self.compute_dtype not in ("same", "float32"):
+            raise ValueError(
+                f"compute_dtype must be 'same' or 'float32', "
+                f"got {self.compute_dtype!r}"
+            )
+        if self.dtype not in ("float64", "float32"):
+            raise ValueError(
+                f"dtype must be 'float64' or 'float32', got {self.dtype!r}"
+            )
+
     def replace(self, **kwargs: Any) -> "Settings":
         return dataclasses.replace(self, **kwargs)
 
