@@ -42,14 +42,32 @@ def batched_solve(
     settings: Settings,
     x0_batch: Array,
     max_iterations: int = 1000,
+    restoration: bool = False,
 ) -> SolverState:
     """Solve B instances of the same problem shape in one compiled program.
 
     Each instance runs its own while_loop trip count; XLA executes the
     batch in lockstep until every instance terminates (vmap of while_loop
     masks finished lanes).
+
+    With ``restoration``, lanes that hit LOCALLY_INFEASIBLE get one
+    in-graph restoration attempt and resume (restoration.py
+    solve_with_restoration); costs nothing at runtime when no lane needs
+    it (status-masked while_loops).
     """
     state0 = batched_initial_state(problem, settings, x0_batch)
+    if restoration and problem.num_cons > 0:
+        from ..restoration import (
+            make_restoration_problem,
+            solve_with_restoration,
+        )
+
+        rest_problem = make_restoration_problem(problem)
+        return jax.vmap(
+            lambda s: solve_with_restoration(
+                problem, settings, s, max_iterations, rest_problem
+            )
+        )(state0)
     return jax.vmap(
         lambda s: solve_jit(problem, settings, s, max_iterations)
     )(state0)
@@ -69,6 +87,7 @@ def sharded_solve(
     mesh: Mesh,
     axis_name: str = "batch",
     max_iterations: int = 1000,
+    restoration: bool = False,
 ) -> SolverState:
     """Scenario-batched solve across a device mesh.
 
@@ -87,6 +106,23 @@ def sharded_solve(
 
     state0 = batched_initial_state(problem, settings, x0_batch)
 
+    if restoration and problem.num_cons > 0:
+        from ..restoration import (
+            make_restoration_problem,
+            solve_with_restoration,
+        )
+
+        rest_problem = make_restoration_problem(problem)
+
+        def solve_one(s):
+            return solve_with_restoration(
+                problem, settings, s, max_iterations, rest_problem
+            )
+    else:
+
+        def solve_one(s):
+            return solve_jit(problem, settings, s, max_iterations)
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -98,9 +134,7 @@ def sharded_solve(
         check_vma=False,
     )
     def run(shard_state):
-        out = jax.vmap(
-            lambda s: solve_jit(problem, settings, s, max_iterations)
-        )(shard_state)
+        out = jax.vmap(solve_one)(shard_state)
         solved_local = jnp.sum(
             (out.status == Status.OPTIMAL).astype(jnp.int32)
         )

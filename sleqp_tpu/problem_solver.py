@@ -43,6 +43,7 @@ from .linesearch import (
     trial_linesearch,
     trial_linesearch_exact,
 )
+from .measure import compute_measure, empty_measure
 from .merit import Direction, make_direction, merit_func, merit_linear
 from .newton import compute_newton_step, compute_working_step, _working_set_rhs
 from .ops.kkt import aug_jac_create, solve_lsq, solve_min_norm
@@ -124,6 +125,8 @@ class SolverState:
     last_model_reduction: Array
     last_exact_reduction: Array
     last_reduction_ratio: Array
+    # full model-vs-actual obj/violation split (measure.c:152-295)
+    measure: object  # Measure pytree
 
 
 def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverState:
@@ -180,6 +183,7 @@ def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverStat
         last_model_reduction=zero_f,
         last_exact_reduction=zero_f,
         last_reduction_ratio=zero_f,
+        measure=empty_measure(dtype),
     )
 
 
@@ -622,6 +626,18 @@ def perform_iteration(
         model_trial,
         settings.accepted_reduction,
     )
+    # ---- manual / non-finite trial rejection ---------------------------
+    # Reference: the set_value reject flag (pub_func.h:40-44) discards the
+    # step exactly like a merit rejection (iteration.c:416-456); under jit
+    # the user cannot raise, so rejection is the traced accept_point
+    # predicate plus an unconditional non-finite guard.
+    trial_valid = (
+        problem.func.point_valid(x_trial)
+        & jnp.isfinite(trial_it.obj_val)
+        & jnp.all(jnp.isfinite(trial_it.cons_val))
+    )
+    accepted = accepted & trial_valid
+    ratio = jnp.where(trial_valid, ratio, -1.0)
 
     # ---- dynamic accuracy gate (trial_point.c:797-905) ----------------
     # An insufficiently accurate evaluation cannot be trusted by the step
@@ -674,7 +690,15 @@ def perform_iteration(
                 model_trial,
                 settings.accepted_reduction,
             )
-            ok = norm_ok & soc_ok
+            # SOC trial point gets its own manual/non-finite rejection
+            # (iteration.c:516-544)
+            soc_valid = (
+                problem.func.point_valid(x_soc)
+                & jnp.isfinite(soc_it.obj_val)
+                & jnp.all(jnp.isfinite(soc_it.cons_val))
+            )
+            ok = norm_ok & soc_ok & soc_valid
+            soc_ratio = jnp.where(soc_valid, soc_ratio, -1.0)
             return ok, soc_it, soc_ratio, soc_sr_acc
 
         def no_soc(_):
@@ -772,6 +796,7 @@ def perform_iteration(
         last_model_reduction=merit_val - model_trial,
         last_exact_reduction=merit_val - exact_trial,
         last_reduction_ratio=ratio,
+        measure=compute_measure(data, it, trial_it, trial_dir, multipliers),
     )
 
     # ---- early termination: keep the (duals-updated) iterate ----------

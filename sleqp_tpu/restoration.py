@@ -75,3 +75,82 @@ def restoration_settings(settings: Settings) -> Settings:
 def restoration_succeeded(status: int) -> bool:
     """UNBOUNDED = hit the residual target = feasible for the original."""
     return status in (Status.UNBOUNDED, Status.OPTIMAL)
+
+
+def solve_with_restoration(
+    problem: Problem,
+    settings: Settings,
+    state0,
+    max_iterations: int,
+    rest_problem: Problem | None = None,
+    max_restoration_iterations: int | None = None,
+):
+    """Full solve with one in-graph restoration attempt.
+
+    Pure-function equivalent of the host-side phase toggling
+    (solver/solve.c:195-238): solve, and when the LP declares local
+    infeasibility, run the restoration LSQ solve *inside the same XLA
+    program*, transform the iterate back (keeping duals/working
+    set/radii/penalty per solver/phase.c:97-147), and resume.  Everything
+    sits under ``lax.cond``, so a feasible solve pays nothing at runtime;
+    under ``vmap`` the restoration while_loops are status-masked and
+    collapse to zero trips when no lane in the batch is infeasible.
+
+    This is how batched/sharded solves (parallel/batch.py) survive
+    LOCALLY_INFEASIBLE lanes — the host-side restoration in
+    ``Solver.solve`` is unavailable inside one compiled program.
+    """
+    import dataclasses
+
+    from jax import lax
+
+    from .iterate import create_iterate, max_violation
+    from .problem_solver import initial_state, solve_jit
+
+    if rest_problem is None:
+        rest_problem = make_restoration_problem(problem)
+    rest_settings = restoration_settings(settings)
+    if max_restoration_iterations is None:
+        max_restoration_iterations = max_iterations
+    n = problem.num_variables
+
+    out = solve_jit(problem, settings, state0, max_iterations)
+
+    def attempt(out):
+        z0 = restoration_initial_point(problem, out.it.x)
+        rs0 = initial_state(rest_problem, rest_settings, z0)
+        rest = solve_jit(
+            rest_problem, rest_settings, rs0, max_restoration_iterations
+        )
+        x_restored = rest.it.x[:n]
+        viol = max_violation(
+            problem.data, problem.cons_val(x_restored)
+        )
+        recovered = viol <= settings.feas_tol * 10.0
+
+        new_it = create_iterate(problem, x_restored)
+        new_it = dataclasses.replace(
+            new_it,
+            cons_dual=out.it.cons_dual,
+            vars_dual=out.it.vars_dual,
+            var_states=out.it.var_states,
+            cons_states=out.it.cons_states,
+        )
+        resumed0 = dataclasses.replace(
+            out,
+            it=new_it,
+            status=jnp.asarray(
+                jnp.where(recovered, Status.RUNNING, out.status), jnp.int32
+            ),
+        )
+        resumed = solve_jit(problem, settings, resumed0, max_iterations)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(recovered, a, b), resumed, out
+        )
+
+    return lax.cond(
+        out.status == jnp.asarray(Status.INFEASIBLE, jnp.int32),
+        attempt,
+        lambda o: o,
+        out,
+    )

@@ -271,15 +271,28 @@ class Solver:
 
         viol = float(max_violation(self.problem.data, c))
         if viol <= self.settings.feas_tol * 10:
-            new_state = initial_state(
-                self.problem, self.settings, x_restored
-            )
+            # Toggle back per solver/phase.c:97-147 fill_optimization_iterate:
+            # only the primal and the function values are refreshed; duals,
+            # working set, trust radii, penalty, saved LP bases, and the
+            # quasi-Newton memory all survive the phase switch (the
+            # reference's problem solvers are created once and reused —
+            # problem_solver/solve.c:137-148 resets only counters).
             import dataclasses
 
+            from .iterate import create_iterate
+
+            new_it = create_iterate(self.problem, x_restored)
+            new_it = dataclasses.replace(
+                new_it,
+                cons_dual=state.it.cons_dual,
+                vars_dual=state.it.vars_dual,
+                var_states=state.it.var_states,
+                cons_states=state.it.cons_states,
+            )
             return dataclasses.replace(
-                new_state,
-                penalty=state.penalty,
-                iteration=state.iteration,
+                state,
+                it=new_it,
+                status=jnp.asarray(Status.RUNNING, jnp.int32),
             )
         # restoration converged but original still infeasible
         logger.info("Restoration could not restore feasibility")
@@ -310,6 +323,12 @@ class Solver:
                 float(state.last_model_reduction),
                 float(state.last_exact_reduction),
                 float(state.last_reduction_ratio),
+            )
+            # obj-vs-violation model/actual split (measure.c:237-295)
+            from .measure import format_measure
+
+            logger.debug(
+                "%s", format_measure(state.measure, float(state.penalty))
             )
         logger.info(
             "%6d %14.6e %14.6e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e %9s",
@@ -393,6 +412,11 @@ class Solver:
             "stat_res": self.state.stat_res,
             "min_rayleigh": self.state.min_rayleigh,
             "max_rayleigh": self.state.max_rayleigh,
+            # nonlinearity diagnostics of the last step (measure.c)
+            "obj_nonlin": self.state.measure.obj_nonlin,
+            "cons_nonlin": self.state.measure.cons_nonlin,
+            "lag_nonlin": self.state.measure.lag_nonlin,
+            "step_norm": self.state.measure.step_norm,
         }
         return float(mapping[name])
 
