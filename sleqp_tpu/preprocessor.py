@@ -44,6 +44,32 @@ class PreprocessingResult(enum.IntEnum):
 
 
 @dataclasses.dataclass
+class ForcingConstraint:
+    """A linear row whose bound can only be met with every variable at a
+    box bound (preprocessor.c:395-431): the row is removed and its
+    variables fixed.  ``at_lower`` means the row's *lower* bound forces
+    the maximal activity (linear_max == linear_lb)."""
+
+    row: int
+    at_lower: bool
+    variables: np.ndarray  # original variable indices with nonzero coeff
+    factors: np.ndarray  # the nonzero coefficients
+
+
+@dataclasses.dataclass
+class ConvertedBound:
+    """A singleton linear row converted into a variable bound
+    (preprocessor.c:110-174); used to re-attribute an active bound dual
+    to the original constraint on restore (restore.c:506-570)."""
+
+    row: int
+    variable: int
+    factor: float
+    tight_lower: bool  # the converted bound supplied the variable's lb
+    tight_upper: bool  # ... the variable's ub
+
+
+@dataclasses.dataclass
 class Preprocessed:
     """Reduced problem + everything needed to restore solutions."""
 
@@ -56,6 +82,8 @@ class Preprocessed:
     kept_general: np.ndarray  # general cons indices kept (always all)
     kept_linear: np.ndarray  # linear row indices kept
     removed_linear: np.ndarray  # linear rows removed (singleton/redundant)
+    forcing: list = dataclasses.field(default_factory=list)
+    converted_bounds: list = dataclasses.field(default_factory=list)
 
     def reduce_point(self, x) -> Array:
         return jnp.asarray(x)[jnp.asarray(self.free_vars)]
@@ -86,20 +114,108 @@ class Preprocessed:
         cons_dual = cons_dual.at[jnp.asarray(kept)].set(it.cons_dual)
         cons_states = cons_states.at[jnp.asarray(kept)].set(it.cons_states)
 
-        vars_dual = jnp.zeros((n,), dtype=dtype)
-        var_states = jnp.zeros((n,), dtype=jnp.int8)
-        vars_dual = vars_dual.at[jnp.asarray(self.free_vars)].set(it.vars_dual)
-        var_states = var_states.at[jnp.asarray(self.free_vars)].set(
-            it.var_states
-        )
-        if len(self.fixed_vars):
-            # stationarity: nu_fixed = -(grad + J^T mu)_fixed (restore.c)
-            resid = obj_grad + cons_jac.T @ cons_dual
-            fixed_idx = jnp.asarray(self.fixed_vars)
-            vars_dual = vars_dual.at[fixed_idx].set(-resid[fixed_idx])
-            var_states = var_states.at[fixed_idx].set(
-                jnp.int8(ActiveState.ACTIVE_BOTH)
+        vars_dual_np = np.zeros((n,))
+        var_states_np = np.zeros((n,), dtype=np.int8)
+        vars_dual_np[self.free_vars] = np.asarray(it.vars_dual)
+        var_states_np[self.free_vars] = np.asarray(it.var_states)
+        cons_dual_np = np.asarray(cons_dual).copy()
+        cons_states_np = np.asarray(cons_states).copy()
+
+        # stationarity residuals at eliminated variables (restore.c)
+        resid = np.asarray(obj_grad + cons_jac.T @ cons_dual)
+        claimed = np.zeros((n,), dtype=bool)
+        claimed[self.free_vars] = True
+
+        # -- forcing constraints (restore.c:384-502): attribute the
+        # stationarity residual of the forced variables to the forcing
+        # row's dual when any bound dual would otherwise have the wrong
+        # sign; the absorbing variable stays inactive -------------------
+        for fc in self.forcing:
+            vs = [int(j) for j in fc.variables if not claimed[int(j)]]
+            if not vs:
+                continue
+            factors = {
+                int(j): float(a)
+                for j, a in zip(fc.variables, fc.factors)
+            }
+            # desired state: at_lower row held at max activity => pos
+            # coeff at upper bound (desired_var_state_in_forcing_...)
+            def at_upper(j):
+                return (factors[j] > 0) == fc.at_lower
+
+            wrong = [
+                j
+                for j in vs
+                if at_upper(j) != (-resid[j] >= 0.0)
+            ]
+            if wrong:
+                ratios = {j: -resid[j] / factors[j] for j in wrong}
+                max_j = max(ratios, key=lambda j: abs(ratios[j]))
+                lam = ratios[max_j]
+                row = mg + int(fc.row)
+                cons_dual_np[row] = lam
+                cons_states_np[row] = (
+                    ActiveState.ACTIVE_LOWER
+                    if fc.at_lower
+                    else ActiveState.ACTIVE_UPPER
+                )
+                for j in vs:
+                    claimed[j] = True
+                    if j == max_j:
+                        continue  # residual fully absorbed by the row
+                    var_states_np[j] = (
+                        ActiveState.ACTIVE_UPPER
+                        if at_upper(j)
+                        else ActiveState.ACTIVE_LOWER
+                    )
+                    vars_dual_np[j] = -(resid[j] + factors[j] * lam)
+            else:
+                for j in vs:
+                    claimed[j] = True
+                    var_states_np[j] = (
+                        ActiveState.ACTIVE_UPPER
+                        if at_upper(j)
+                        else ActiveState.ACTIVE_LOWER
+                    )
+                    vars_dual_np[j] = -resid[j]
+
+        # -- remaining fixed variables: nu = -(grad + J^T mu) -----------
+        for j in self.fixed_vars:
+            j = int(j)
+            if claimed[j]:
+                continue
+            vars_dual_np[j] = -resid[j]
+            var_states_np[j] = ActiveState.ACTIVE_BOTH
+
+        # -- converted singleton bounds (restore.c:506-570): an active
+        # variable bound that came from a singleton row re-attributes its
+        # dual to the original constraint -------------------------------
+        for cb in self.converted_bounds:
+            j, row = int(cb.variable), mg + int(cb.row)
+            state = int(var_states_np[j])
+            if state == ActiveState.ACTIVE_BOTH:
+                state = (
+                    ActiveState.ACTIVE_UPPER
+                    if vars_dual_np[j] >= 0
+                    else ActiveState.ACTIVE_LOWER
+                )
+            from_row = (
+                state == ActiveState.ACTIVE_LOWER and cb.tight_lower
+            ) or (state == ActiveState.ACTIVE_UPPER and cb.tight_upper)
+            if state == ActiveState.INACTIVE or not from_row:
+                continue
+            # bound flip: negative factor swaps lower/upper on the row
+            at_upper = state == ActiveState.ACTIVE_UPPER
+            if cb.factor < 0:
+                at_upper = not at_upper
+            cons_dual_np[row] = vars_dual_np[j] / cb.factor
+            cons_states_np[row] = (
+                ActiveState.ACTIVE_UPPER
+                if at_upper
+                else ActiveState.ACTIVE_LOWER
             )
+            vars_dual_np[j] = 0.0
+            var_states_np[j] = ActiveState.INACTIVE
 
         return Iterate(
             x=x,
@@ -107,10 +223,10 @@ class Preprocessed:
             obj_grad=obj_grad,
             cons_val=cons_val,
             cons_jac=cons_jac,
-            cons_dual=cons_dual,
-            vars_dual=vars_dual,
-            var_states=var_states,
-            cons_states=cons_states,
+            cons_dual=jnp.asarray(cons_dual_np, dtype=dtype),
+            vars_dual=jnp.asarray(vars_dual_np, dtype=dtype),
+            var_states=jnp.asarray(var_states_np),
+            cons_states=jnp.asarray(cons_states_np),
         )
 
 
@@ -130,8 +246,10 @@ def preprocess(problem: Problem, feas_tol: float = 1e-9) -> Preprocessed:
         return _infeasible(problem)
 
     removed_rows: list[int] = []
+    converted_bounds: list[ConvertedBound] = []
+    forcing: list[ForcingConstraint] = []
 
-    # -- singleton rows -> variable bounds (preprocessor.c:19-60) -------
+    # -- singleton rows -> variable bounds (preprocessor.c:110-174) -----
     for i in range(ml):
         nz = np.nonzero(A[i])[0]
         if len(nz) == 1:
@@ -142,9 +260,15 @@ def preprocess(problem: Problem, feas_tol: float = 1e-9) -> Preprocessed:
                 lo, hi = hi, lo
             lo = lo / a if np.isfinite(lo) else -np.inf
             hi = hi / a if np.isfinite(hi) else np.inf
+            tight_lower = lo > var_lb[j]
+            tight_upper = hi < var_ub[j]
             var_lb[j] = max(var_lb[j], lo)
             var_ub[j] = min(var_ub[j], hi)
             removed_rows.append(i)
+            if tight_lower or tight_upper:
+                converted_bounds.append(
+                    ConvertedBound(i, j, float(a), tight_lower, tight_upper)
+                )
         elif len(nz) == 0:
             # empty row: either trivially satisfied or infeasible
             if lin_lb[i] > feas_tol or lin_ub[i] < -feas_tol:
@@ -154,12 +278,51 @@ def preprocess(problem: Problem, feas_tol: float = 1e-9) -> Preprocessed:
     if np.any(var_lb > var_ub + feas_tol):
         return _infeasible(problem)
 
+    def _activity_bounds(i):
+        lo = np.sum(np.where(A[i] >= 0, A[i] * var_lb, A[i] * var_ub))
+        hi = np.sum(np.where(A[i] >= 0, A[i] * var_ub, A[i] * var_lb))
+        return lo, hi
+
+    # -- forcing constraints (preprocessor.c:372-431): a row whose bound
+    # slack against the implied activity range is exactly zero can only
+    # be satisfied with every participating variable at a box bound ----
+    for i in range(ml):
+        if i in removed_rows:
+            continue
+        lo_act, hi_act = _activity_bounds(i)
+        if np.isfinite(lin_lb[i]):
+            slack = hi_act - lin_lb[i]
+            if slack < -feas_tol:
+                return _infeasible(problem)
+            if slack <= feas_tol:
+                nz = np.nonzero(A[i])[0]
+                # max activity: positive coeff at ub, negative at lb
+                fixed = np.where(A[i, nz] > 0, var_ub[nz], var_lb[nz])
+                var_lb[nz] = var_ub[nz] = fixed
+                forcing.append(
+                    ForcingConstraint(i, True, nz.astype(np.int32), A[i, nz])
+                )
+                removed_rows.append(i)
+                continue
+        if np.isfinite(lin_ub[i]):
+            slack = lin_ub[i] - lo_act
+            if slack < -feas_tol:
+                return _infeasible(problem)
+            if slack <= feas_tol:
+                nz = np.nonzero(A[i])[0]
+                # min activity: positive coeff at lb, negative at ub
+                fixed = np.where(A[i, nz] > 0, var_lb[nz], var_ub[nz])
+                var_lb[nz] = var_ub[nz] = fixed
+                forcing.append(
+                    ForcingConstraint(i, False, nz.astype(np.int32), A[i, nz])
+                )
+                removed_rows.append(i)
+
     # -- redundant / infeasible rows via implied activity bounds --------
     for i in range(ml):
         if i in removed_rows:
             continue
-        lo_act = np.sum(np.where(A[i] >= 0, A[i] * var_lb, A[i] * var_ub))
-        hi_act = np.sum(np.where(A[i] >= 0, A[i] * var_ub, A[i] * var_lb))
+        lo_act, hi_act = _activity_bounds(i)
         if lo_act > lin_ub[i] + feas_tol or hi_act < lin_lb[i] - feas_tol:
             return _infeasible(problem)
         if (
@@ -169,6 +332,45 @@ def preprocess(problem: Problem, feas_tol: float = 1e-9) -> Preprocessed:
             and hi_act <= lin_ub[i] + feas_tol
         ):
             removed_rows.append(i)  # redundant
+
+    # -- implied variable bounds (preprocessor.c:176-258): tighten
+    # var_min/var_max from each row's bound minus the remaining rows'
+    # extreme activity; an empty implied interval proves infeasibility --
+    var_min = var_lb.copy()
+    var_max = var_ub.copy()
+    for i in range(ml):
+        if i in removed_rows:
+            continue
+        lo_act, hi_act = _activity_bounds(i)
+        for j in np.nonzero(A[i])[0]:
+            a = A[i, j]
+            if (
+                np.isfinite(lin_ub[i])
+                and np.isfinite(lo_act)
+                and np.isfinite(var_lb[j] if a > 0 else var_ub[j])
+            ):
+                if a > 0:
+                    bound = (lin_ub[i] - lo_act) / a + var_lb[j]
+                    var_max[j] = min(var_max[j], bound)
+                else:
+                    bound = (lin_ub[i] - lo_act) / a + var_ub[j]
+                    var_min[j] = max(var_min[j], bound)
+            if (
+                np.isfinite(lin_lb[i])
+                and np.isfinite(hi_act)
+                and np.isfinite(var_ub[j] if a > 0 else var_lb[j])
+            ):
+                if a > 0:
+                    bound = (lin_lb[i] - hi_act) / a + var_ub[j]
+                    var_min[j] = max(var_min[j], bound)
+                else:
+                    bound = (lin_lb[i] - hi_act) / a + var_lb[j]
+                    var_max[j] = min(var_max[j], bound)
+    finite_pair = np.isfinite(var_min) & np.isfinite(var_max)
+    gap = np.where(finite_pair, var_max - var_min, 0.0)
+    scale = 1.0 + np.abs(np.where(finite_pair, var_min, 0.0))
+    if np.any(gap < -feas_tol * scale):
+        return _infeasible(problem)
 
     kept_linear = np.array(
         [i for i in range(ml) if i not in removed_rows], dtype=np.int32
@@ -248,6 +450,8 @@ def preprocess(problem: Problem, feas_tol: float = 1e-9) -> Preprocessed:
         kept_general=np.arange(mg, dtype=np.int32),
         kept_linear=kept_linear,
         removed_linear=removed_linear,
+        forcing=forcing,
+        converted_bounds=converted_bounds,
     )
 
 
