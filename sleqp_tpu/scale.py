@@ -138,16 +138,49 @@ class ScaledProblem(Problem):
             hd = problem.func.hess_prod(x, _ldexp(d, beta), mu)
             return _ldexp(hd, beta - lam)
 
-        func = Func(
-            obj,
-            num_variables=problem.num_variables,
-            cons=cons if mg else None,
-            num_cons=mg,
-            obj_grad=obj_grad,
-            cons_jac=cons_jac if mg else None,
-            hess_prod=hess_prod,
-            psd_hessian=problem.func.psd_hessian,
-        )
+        from .dyn import DynFunc
+
+        if isinstance(problem.func, DynFunc):
+            # Dynamic functions stay dynamic under scaling
+            # (problem_scaling.c:276-345): values are scaled on the way
+            # out, and the solver's error weights are scaled on the way
+            # *in* (scaled_dyn_func_set_obj_weight / _set_cons_weights:
+            # ldexp(w, -exponent)) so that the inner weighted-error
+            # contract |Pi - Pi_eps| <= error_bound refers to the scaled
+            # merit the solver actually measures.
+            inner = problem.func
+
+            def dyn_eval(xs, error_bound, obj_weight, cons_weights):
+                x = unscale_x(xs)
+                w_f = jnp.ldexp(obj_weight, -lam)
+                w_c = _ldexp(cons_weights, -alpha_general)
+                obj_v, cons_v, err = inner.eval_fn(
+                    x, error_bound, w_f, w_c
+                )
+                return (
+                    jnp.ldexp(obj_v, -lam),
+                    _ldexp(cons_v, -alpha_general),
+                    err,
+                )
+
+            func = DynFunc(
+                dyn_eval,
+                num_variables=problem.num_variables,
+                num_cons=mg,
+                psd_hessian=problem.func.psd_hessian,
+            )
+            func.initial_error_bound = inner.initial_error_bound
+        else:
+            func = Func(
+                obj,
+                num_variables=problem.num_variables,
+                cons=cons if mg else None,
+                num_cons=mg,
+                obj_grad=obj_grad,
+                cons_jac=cons_jac if mg else None,
+                hess_prod=hess_prod,
+                psd_hessian=problem.func.psd_hessian,
+            )
 
         ml = problem.num_linear
         alpha_linear = alpha[mg:]
