@@ -29,6 +29,7 @@ from .types import (  # noqa: E402
     DualEstimationType,
     HessEval,
     Linesearch,
+    MathError,
     Polishing,
     SolverPhase,
     Status,

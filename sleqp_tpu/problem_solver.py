@@ -44,7 +44,13 @@ from .linesearch import (
     trial_linesearch_exact,
 )
 from .measure import compute_measure, empty_measure
-from .merit import Direction, make_direction, merit_func, merit_linear
+from .merit import (
+    Direction,
+    make_direction,
+    merit_func,
+    merit_linear,
+    merit_quadratic,
+)
 from .newton import compute_newton_step, compute_working_step, _working_set_rhs
 from .ops.kkt import aug_jac_create, solve_lsq, solve_min_norm
 from .penalty import global_penalty_reset, update_penalty
@@ -127,6 +133,10 @@ class SolverState:
     last_reduction_ratio: Array
     # full model-vs-actual obj/violation split (measure.c:152-295)
     measure: object  # Measure pytree
+    # numerical-invariant violation bitmask (settings.num_asserts;
+    # trial_point.c:620-708): 1 = direction bundle inconsistent,
+    # 2 = model merit mismatch, 4 = non-finite solver quantity
+    num_assert_fail: Array  # int32
 
 
 def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverState:
@@ -184,6 +194,7 @@ def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverStat
         last_exact_reduction=zero_f,
         last_reduction_ratio=zero_f,
         measure=empty_measure(dtype),
+        num_assert_fail=zero_i,
     )
 
 
@@ -597,6 +608,45 @@ def perform_iteration(
         min_ray = jnp.asarray(0.0, dtype=dtype)
         max_ray = jnp.asarray(0.0, dtype=dtype)
 
+    # ---- numerical invariant checks (trial_point.c:620-708) -----------
+    # Static debug mode: re-derive the direction bundle and the model
+    # merit from first principles and compare (sleqp_direction_check +
+    # the trial-merit num-assert), plus finiteness of solver-computed
+    # quantities (math_error.h analogue).  Violations are recorded as a
+    # bitmask; host loops raise MATH_ERROR on a nonzero value.
+    if settings.num_asserts:
+        _d = trial_dir.primal
+
+        def _close(a, b):
+            return jnp.all(
+                jnp.abs(a - b)
+                <= settings.eps
+                * (1.0 + jnp.maximum(jnp.abs(a), jnp.abs(b)))
+            )
+
+        ok_dir = (
+            _close(it.obj_grad @ _d, trial_dir.obj_dot)
+            & _close(it.cons_jac @ _d, trial_dir.cons_jac_dot)
+            & _close(hess_prod(_d), trial_dir.hess)
+        )
+        if settings.use_quadratic_model:
+            _m_re = merit_quadratic(data, it, trial_dir, penalty)
+        else:
+            _m_re = merit_linear(data, it, trial_dir, penalty)
+        ok_merit = _close(_m_re, model_trial)
+        ok_finite = (
+            jnp.all(jnp.isfinite(_d))
+            & jnp.all(jnp.isfinite(it.vars_dual))
+            & jnp.all(jnp.isfinite(it.cons_dual))
+        )
+        num_assert_fail = (
+            jnp.where(ok_dir, 0, 1)
+            + jnp.where(ok_merit, 0, 2)
+            + jnp.where(ok_finite, 0, 4)
+        ).astype(jnp.int32)
+    else:
+        num_assert_fail = jnp.asarray(0, jnp.int32)
+
     # ---- trial evaluation + step rule ---------------------------------
     x_trial = problem.clip_to_bounds(it.x + trial_dir.primal)
     if is_dynamic:
@@ -797,6 +847,8 @@ def perform_iteration(
         last_exact_reduction=merit_val - exact_trial,
         last_reduction_ratio=ratio,
         measure=compute_measure(data, it, trial_it, trial_dir, multipliers),
+        # sticky across iterations so fused while_loop solves surface it
+        num_assert_fail=state.num_assert_fail | num_assert_fail,
     )
 
     # ---- early termination: keep the (duals-updated) iterate ----------
@@ -820,6 +872,7 @@ def perform_iteration(
         slack_res=slack_res,
         stat_res=stat_res,
         basis=cres.basis,
+        num_assert_fail=state.num_assert_fail | num_assert_fail,
     )
 
     return _tree_where(stop, stopped_state, running_state)

@@ -101,6 +101,11 @@ class Settings:
     # every certified quantity (duals, residuals, LP extraction) — the
     # TPU-native fast path, since TPUs emulate float64 in software.
     compute_dtype: str = "same"
+    # Numerical invariant checks (SLEQP_ENABLE_NUM_ASSERTS analogue,
+    # trial_point.c:620-708): re-derive the trial direction bundle, the
+    # model merit value, and dual/step finiteness every iteration and
+    # record violations in SolverState.num_assert_fail; host loops raise.
+    num_asserts: bool = False
 
     def __post_init__(self) -> None:
         # Validate eagerly: a typo ("fp32") silently resolving to the

@@ -154,6 +154,10 @@ class Solver:
                 state = solve_jit(
                     self.problem, self.settings, state, max_iterations
                 )
+                if self.settings.num_asserts and int(state.num_assert_fail):
+                    from .types import MathError
+
+                    raise MathError(int(state.num_assert_fail))
 
             status = Status(int(state.status))
             if (
@@ -227,6 +231,10 @@ class Solver:
             prev_iter = int(state.iteration)
             state = self._step_fn(state)
             self.state = state
+            if self.settings.num_asserts and int(state.num_assert_fail):
+                from .types import MathError
+
+                raise MathError(int(state.num_assert_fail))
             if int(state.iteration) > prev_iter:
                 self._log_iteration(state)
                 for fn in self._callbacks[SolverEvent.PERFORMED_ITERATION]:

@@ -165,3 +165,26 @@ class SolverPhase(enum.IntEnum):
 # sleqp_infinity() = 1e20 semantics, src/main/cmp.c).
 INF = 1e20
 INF_THRESHOLD = 1e19
+
+
+class MathError(ArithmeticError):
+    """A numerical invariant failed (SLEQP_MATH_ERROR analogue,
+    fail.h / math_error.h): raised by host loops when
+    ``settings.num_asserts`` detects an inconsistency; the bitmask names
+    which check fired (problem_solver.SolverState.num_assert_fail)."""
+
+    BITS = {
+        1: "direction bundle inconsistent (direction.c check)",
+        2: "model merit mismatch (trial_point.c:760-790)",
+        4: "non-finite solver quantity",
+    }
+
+    def __init__(self, bitmask: int):
+        self.bitmask = int(bitmask)
+        parts = [
+            msg for bit, msg in self.BITS.items() if self.bitmask & bit
+        ]
+        super().__init__(
+            f"numerical assert failed (mask {self.bitmask}): "
+            + "; ".join(parts)
+        )
