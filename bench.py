@@ -61,16 +61,24 @@ def _x0_batch(x0, batch):
     return jnp.clip(x0[None, :] + jitter, 1.0, 5.0)
 
 
-def _bench_fused(device) -> tuple[float, int, int]:
+def _accel_settings():
+    """Accelerator configuration: mixed precision (f32 inner solvers with
+    f64 certification) — TPUs emulate float64, so the measured TPU
+    configuration keeps sequential hot loops in hardware-native f32."""
+    from sleqp_tpu import Settings
+
+    return Settings(compute_dtype="float32")
+
+
+def _bench_fused(device, settings) -> tuple[float, int, int]:
     """Returns (seconds, total_iterations, solved). Raises on failure."""
     import jax
 
-    from sleqp_tpu import Settings, Status
+    from sleqp_tpu import Status
     from sleqp_tpu.parallel.batch import batched_initial_state
     from sleqp_tpu.problem_solver import solve_jit
 
     problem, x0 = _make_problem()
-    settings = Settings()
     with jax.default_device(device):
         x0b = _x0_batch(x0, BATCH)
         state0 = batched_initial_state(problem, settings, x0b)
@@ -91,15 +99,14 @@ def _bench_fused(device) -> tuple[float, int, int]:
     return dt, total_iters, solved
 
 
-def _bench_stepped(device) -> tuple[float, int, int]:
+def _bench_stepped(device, settings) -> tuple[float, int, int]:
     """Per-iteration stepping fallback (smaller XLA programs)."""
     import jax
 
-    from sleqp_tpu import Settings, Status
+    from sleqp_tpu import Status
     from sleqp_tpu.parallel.batch import batched_initial_state, batched_step
 
     problem, x0 = _make_problem()
-    settings = Settings()
     with jax.default_device(device):
         x0b = _x0_batch(x0, BATCH)
         state = batched_initial_state(problem, settings, x0b)
@@ -117,12 +124,12 @@ def _bench_stepped(device) -> tuple[float, int, int]:
     return dt, total_iters, solved
 
 
-def _run_on(device):
+def _run_on(device, settings):
     try:
-        return _bench_fused(device), "fused"
+        return _bench_fused(device, settings), "fused"
     except Exception as exc:  # remote-compile hiccups etc.
         print(f"# fused path failed on {device}: {exc}", file=sys.stderr)
-        return _bench_stepped(device), "stepped"
+        return _bench_stepped(device, settings), "stepped"
 
 
 def _discover_devices(timeout_s: int = 180):
@@ -151,9 +158,10 @@ def _discover_devices(timeout_s: int = 180):
     return devices
 
 
-def _kkt_diagnostics(device) -> None:
-    """Structured-KKT component benchmark (BASELINE config 3), stderr only:
-    block-tridiagonal factor+solve at n ~ 10k on one chip."""
+def _kkt_diagnostics(device) -> dict:
+    """Structured-KKT component benchmark (BASELINE config 3):
+    block-tridiagonal factor+solve at n ~ 10k on one chip.  Returns the
+    numbers for the bench JSON (and still logs to stderr)."""
     import jax
     import jax.numpy as jnp
 
@@ -183,13 +191,20 @@ def _kkt_diagnostics(device) -> None:
                 f"{gflops:.1f} GFLOP/s on {device}",
                 file=sys.stderr,
             )
+            return {
+                "kkt_n": N * k,
+                "kkt_ms_per_solve": round(1e3 * dt, 3),
+                "kkt_gflops": round(gflops, 1),
+            }
     except Exception as exc:
         print(f"# kkt diagnostics failed: {exc}", file=sys.stderr)
+        return {}
 
 
-def _ocp_diagnostics(device) -> None:
-    """Block-structured OCP benchmark (BASELINE config 4), stderr only:
-    full structured SQP iterations at n ~ 100k on one chip."""
+def _ocp_diagnostics(device) -> dict:
+    """Block-structured OCP benchmark (BASELINE config 4): full
+    structured SQP iterations at n ~ 100k on one chip.  Returns the
+    numbers for the bench JSON (and still logs to stderr)."""
     import jax
     import jax.numpy as jnp
 
@@ -234,8 +249,13 @@ def _ocp_diagnostics(device) -> None:
                 f"{1e3 * dt:.1f} ms/iteration on {device}",
                 file=sys.stderr,
             )
+            return {
+                "ocp_n": T * (nx + nu),
+                "ocp_ms_per_iteration": round(1e3 * dt, 1),
+            }
     except Exception as exc:
         print(f"# ocp diagnostics failed: {exc}", file=sys.stderr)
+        return {}
 
 
 def main() -> None:
@@ -250,24 +270,32 @@ def main() -> None:
     except RuntimeError:
         cpu_devices = []
 
+    extras = {}
     if accel_devices:
-        _kkt_diagnostics(accel_devices[0])
-        _ocp_diagnostics(accel_devices[0])
-        ((dt, iters, solved), mode) = _run_on(accel_devices[0])
+        settings = _accel_settings()
+        extras.update(_kkt_diagnostics(accel_devices[0]))
+        extras.update(_ocp_diagnostics(accel_devices[0]))
+        ((dt, iters, solved), mode) = _run_on(accel_devices[0], settings)
         value = iters / dt
-        # host-CPU baseline of the same workload
+        # host-CPU baseline of the same workload and configuration
         vs_baseline = 1.0
         if cpu_devices:
             try:
-                ((dt_cpu, iters_cpu, _), _m) = _run_on(cpu_devices[0])
+                ((dt_cpu, iters_cpu, _), _m) = _run_on(
+                    cpu_devices[0], settings
+                )
                 cpu_rate = iters_cpu / dt_cpu
                 if cpu_rate > 0:
                     vs_baseline = value / cpu_rate
+                extras["cpu_rate"] = round(cpu_rate, 2)
             except Exception as exc:
                 print(f"# cpu baseline failed: {exc}", file=sys.stderr)
         unit = "SQP instance-iterations/s (1 chip)"
+        extras["compute_dtype"] = settings.compute_dtype
     else:
-        ((dt, iters, solved), mode) = _run_on(cpu_devices[0])
+        from sleqp_tpu import Settings
+
+        ((dt, iters, solved), mode) = _run_on(cpu_devices[0], Settings())
         value = iters / dt
         vs_baseline = 1.0
         unit = "SQP instance-iterations/s (host cpu)"
@@ -279,6 +307,7 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": unit,
                 "vs_baseline": round(vs_baseline, 3),
+                **extras,
             }
         )
     )
