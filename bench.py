@@ -258,6 +258,57 @@ def _ocp_diagnostics(device) -> dict:
         return {}
 
 
+def _banded_diagnostics(device) -> dict:
+    """General banded-NLP benchmark (BASELINE config 3, done-criterion:
+    banded n >= 10^4 to 1e-6 on one chip in block-banded memory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sleqp_tpu import Settings, Status
+    from sleqp_tpu.banded import BandedProblem, banded_solve
+
+    try:
+        with jax.default_device(device):
+            N, k, q = 160, 64, 16  # n = 10240
+            rng = np.random.default_rng(0)
+            W = jnp.asarray(rng.standard_normal((N, k)) * 0.5)
+            S = jnp.asarray(rng.standard_normal((N - 1, q, k)) * 0.3)
+
+            def obj(x, t):
+                return jnp.sum((x - W[t]) ** 2) + 0.1 * jnp.sum(jnp.cos(x))
+
+            def cons(a, b, t):
+                return S[t] @ (b - a) + 0.05 * (S[t] @ a) ** 2
+
+            p = BandedProblem(
+                obj, N, k, cons_block=cons, cons_per_block=q,
+                var_lb=-2.0, var_ub=2.0, cons_lb=-0.3, cons_ub=0.3,
+            )
+            st = banded_solve(p, Settings(), max_iterations=100)
+            jax.block_until_ready(st.X)
+            t0 = time.perf_counter()
+            st = banded_solve(p, Settings(), max_iterations=100)
+            jax.block_until_ready(st.X)
+            dt = time.perf_counter() - t0
+            ok = int(st.status) == Status.OPTIMAL
+            print(
+                f"# banded n={N * k}: {'OPTIMAL' if ok else 'FAILED'} in "
+                f"{int(st.iteration)} iters, {dt:.2f}s, feas "
+                f"{float(st.feas_res):.1e} on {device}",
+                file=sys.stderr,
+            )
+            return {
+                "banded_n": N * k,
+                "banded_solved": ok,
+                "banded_iters": int(st.iteration),
+                "banded_seconds": round(dt, 2),
+                "banded_feas_res": float(st.feas_res),
+            }
+    except Exception as exc:
+        print(f"# banded diagnostics failed: {exc}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     import jax
 
@@ -275,6 +326,7 @@ def main() -> None:
         settings = _accel_settings()
         extras.update(_kkt_diagnostics(accel_devices[0]))
         extras.update(_ocp_diagnostics(accel_devices[0]))
+        extras.update(_banded_diagnostics(accel_devices[0]))
         ((dt, iters, solved), mode) = _run_on(accel_devices[0], settings)
         value = iters / dt
         # host-CPU baseline of the same workload and configuration

@@ -1,0 +1,689 @@
+"""Banded general-inequality NLPs through a structured SQP loop.
+
+TPU-native medium-scale path (SURVEY.md §5.7, BASELINE config 3).  The
+reference reaches n ~ 10^4-10^5 on *general* NLPs through sparse data
+structures everywhere (sparse aug-Jacobian assembly + factorization,
+src/main/aug_jac/standard_aug_jac.c:34-101 over src/main/fact/fact.c:22,
+and sparse LP bases, src/main/lp/lpi_highs.c).  The TPU-native
+equivalent replaces "sparse" with *block-banded*: variables are grouped
+into N_b blocks of size k, and each constraint block couples two
+adjacent variable blocks:
+
+    min  sum_t f_t(x_t)
+    s.t. clb_t <= c_t(x_t, x_{t+1}) <= cub_t      t = 0..N_b-2
+         lb <= x <= ub
+
+Any banded NLP (Jacobian bandwidth <= k) fits this form.  All data
+stays O(N_b (k^2 + q k)) — never the dense (m, n) Jacobian:
+
+* Jacobian: two (q, k) blocks per row block via vmapped `jacfwd`.
+* Lagrangian Hessian: block-tridiagonal (k, k) blocks via vmapped
+  `jax.hessian` of the per-stage Lagrangian.
+* Working set: epsilon-active + wrong-sign dual dropping per iteration
+  (the active-set estimate the reference reads off the LP basis,
+  standard_cauchy.c:843), optionally *seeded* by a matrix-free PDLP
+  solve of the exact reference Cauchy LP (`banded_cauchy`), whose
+  operator form never materializes [J, I, -I, -I].
+* EQP step: the active-set KKT system is condensed to the SPD
+  block-tridiagonal K = H + rho I + (1/delta) J_W^T J_W (J block-
+  bidiagonal => J^T J block-tridiagonal), solved by the existing
+  Cholesky block-Thomas kernel (ops/block_tridiag.py) — the same kernel
+  the OCP path shards over a mesh.  delta is the exact augmented-
+  Lagrangian regularization; multipliers are recovered as
+  lambda = (J_W d - t_W) / delta.  TPU note: this deliberately avoids
+  LU (XLA TPU implements LuDecomposition only for f32) and keeps every
+  stage-parallel operation a dense MXU matmul.
+* Globalization: l1 exact-penalty merit + backtracking Armijo
+  linesearch + Levenberg regularization driven by the reference
+  reduction-ratio thresholds 0.9/0.3 (trust_radius.c:47-84), penalty
+  kept above the multiplier scale (penalty.c:5-50).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ops.block_tridiag import block_tridiag_solve
+from .settings import Settings
+from .types import INF_THRESHOLD, BaseStat, Status
+
+Array = jax.Array
+
+REG_MIN = 1e-10
+REG_MAX = 1e10
+REG_FAIL = 1e-4
+MAX_LINESEARCH_STEPS = 30
+DELTA = 1e-8  # augmented-Lagrangian condensation regularization
+
+
+class BandedProblem:
+    """Block-banded NLP front end.
+
+    obj_block(x_t, t) -> scalar (summed over t = 0..N_b-1)
+    cons_block(x_t, x_next, t) -> (q,) for t = 0..N_b-2
+    """
+
+    def __init__(
+        self,
+        obj_block: Callable,
+        num_blocks: int,
+        block_size: int,
+        cons_block: Optional[Callable] = None,
+        cons_per_block: int = 0,
+        var_lb=-jnp.inf,
+        var_ub=jnp.inf,
+        cons_lb=None,
+        cons_ub=None,
+        dtype=jnp.float64,
+    ):
+        self.obj_block = obj_block
+        self.cons_block = cons_block
+        self.N_b = int(num_blocks)
+        self.k = int(block_size)
+        self.q = int(cons_per_block)
+        if self.N_b < 2:
+            raise ValueError("BandedProblem needs at least 2 blocks")
+        self.dtype = jnp.dtype(dtype)
+        self.n = self.N_b * self.k
+        self.m = (self.N_b - 1) * self.q
+
+        def _expand(v, shape, default):
+            if v is None:
+                v = default
+            arr = jnp.broadcast_to(
+                jnp.asarray(v, dtype=self.dtype), shape
+            )
+            return arr
+
+        self.var_lb = _expand(var_lb, (self.N_b, self.k), -jnp.inf)
+        self.var_ub = _expand(var_ub, (self.N_b, self.k), jnp.inf)
+        if self.q:
+            self.cons_lb = _expand(cons_lb, (self.N_b - 1, self.q), -jnp.inf)
+            self.cons_ub = _expand(cons_ub, (self.N_b - 1, self.q), jnp.inf)
+        else:
+            self.cons_lb = jnp.zeros((0, 0), self.dtype)
+            self.cons_ub = jnp.zeros((0, 0), self.dtype)
+        self.ts = jnp.arange(self.N_b)
+
+    # -- vmapped evaluations (everything O(N_b * block work)) ----------
+
+    def obj(self, X: Array) -> Array:
+        return jnp.sum(jax.vmap(self.obj_block)(X, self.ts))
+
+    def obj_grad(self, X: Array) -> Array:
+        return jax.vmap(jax.grad(self.obj_block))(X, self.ts)
+
+    def cons(self, X: Array) -> Array:
+        """(N_b-1, q) constraint values."""
+        return jax.vmap(self.cons_block)(X[:-1], X[1:], self.ts[:-1])
+
+    def cons_jac_blocks(self, X: Array):
+        """Jl, Jr: (N_b-1, q, k) left/right Jacobian blocks."""
+        Jl = jax.vmap(jax.jacfwd(self.cons_block, argnums=0))(
+            X[:-1], X[1:], self.ts[:-1]
+        )
+        Jr = jax.vmap(jax.jacfwd(self.cons_block, argnums=1))(
+            X[:-1], X[1:], self.ts[:-1]
+        )
+        return Jl, Jr
+
+    def lag_hess_blocks(self, X: Array, lam: Array):
+        """Block-tridiagonal Lagrangian Hessian.
+
+        Returns (Hd, Hs): Hd (N_b, k, k) diagonals, Hs (N_b-1, k, k)
+        sub-diagonals (rows t+1, cols t).
+        """
+        Hd = jax.vmap(jax.hessian(self.obj_block))(X, self.ts)
+        if not self.q:
+            return Hd, jnp.zeros((self.N_b - 1, self.k, self.k), self.dtype)
+
+        def pair_lag(a, b, lam_t, t):
+            return jnp.vdot(lam_t, self.cons_block(a, b, t))
+
+        def pair_hess(a, b, lam_t, t):
+            z = jnp.concatenate([a, b])
+            k = self.k
+
+            def f(z):
+                return pair_lag(z[:k], z[k:], lam_t, t)
+
+            return jax.hessian(f)(z)
+
+        M = jax.vmap(pair_hess)(X[:-1], X[1:], lam, self.ts[:-1])
+        k = self.k
+        A = M[:, :k, :k]  # d2/da2
+        B = M[:, :k, k:]  # d2/da db
+        C = M[:, k:, k:]  # d2/db2
+        Hd = Hd.at[:-1].add(A)
+        Hd = Hd.at[1:].add(C)
+        Hs = jnp.transpose(B, (0, 2, 1))  # rows x_{t+1}, cols x_t
+        return Hd, Hs
+
+    def clip(self, X: Array) -> Array:
+        return jnp.clip(X, self.var_lb, self.var_ub)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free Cauchy LP (reference standard_cauchy.c LP, PDLP backend)
+# ---------------------------------------------------------------------------
+
+
+class BandedCauchyOp:
+    """Operator view of the Cauchy LP matrix A = [J, I, -I, -I] for a
+    block-bidiagonal J, satisfying the ops/pdlp.py DenseOp protocol.
+    Columns: d (n), s+ (m), s- (m), w (m); rows: J d + s+ - s- - w = 0
+    (cauchy.py layout, standard_cauchy.c:203-244) — never materialized."""
+
+    def __init__(self, Jl: Array, Jr: Array):
+        self.Jl, self.Jr = Jl, Jr
+        self.Nc, self.q, self.k = Jl.shape
+        self.N_b = self.Nc + 1
+        n, m = self.N_b * self.k, self.Nc * self.q
+        self.n, self.m_rows = n, m
+        self.shape = (m, n + 3 * m)
+        self.dtype = Jl.dtype
+
+    def _split(self, x):
+        n, m = self.n, self.m_rows
+        return x[:n], x[n : n + m], x[n + m : n + 2 * m], x[n + 2 * m :]
+
+    def _jmv(self, d):
+        D = d.reshape(self.N_b, self.k)
+        out = jnp.einsum("tqk,tk->tq", self.Jl, D[:-1])
+        out = out + jnp.einsum("tqk,tk->tq", self.Jr, D[1:])
+        return out.reshape(-1)
+
+    def _jtmv(self, y):
+        Y = y.reshape(self.Nc, self.q)
+        out = jnp.zeros((self.N_b, self.k), self.dtype)
+        out = out.at[:-1].add(jnp.einsum("tqk,tq->tk", self.Jl, Y))
+        out = out.at[1:].add(jnp.einsum("tqk,tq->tk", self.Jr, Y))
+        return out.reshape(-1)
+
+    def mv(self, x):
+        d, sp, sm, w = self._split(x)
+        return self._jmv(d) + sp - sm - w
+
+    def rmv(self, y):
+        return jnp.concatenate([self._jtmv(y), y, -y, -y])
+
+    def scaled_row_max(self, d_c):
+        d, sp, sm, w = self._split(d_c)
+        D = d.reshape(self.N_b, self.k)
+        jmax = jnp.maximum(
+            jnp.max(jnp.abs(self.Jl) * D[:-1, None, :], axis=2),
+            jnp.max(jnp.abs(self.Jr) * D[1:, None, :], axis=2),
+        ).reshape(-1)
+        return jnp.maximum(jmax, jnp.maximum(sp, jnp.maximum(sm, w)))
+
+    def scaled_col_max(self, d_r):
+        Y = d_r.reshape(self.Nc, self.q)
+        col = jnp.zeros((self.N_b, self.k), self.dtype)
+        col = col.at[:-1].max(
+            jnp.max(jnp.abs(self.Jl) * Y[:, :, None], axis=1)
+        )
+        col = col.at[1:].max(
+            jnp.max(jnp.abs(self.Jr) * Y[:, :, None], axis=1)
+        )
+        return jnp.concatenate([col.reshape(-1), d_r, d_r, d_r])
+
+
+def banded_cauchy(
+    problem: BandedProblem,
+    X: Array,
+    trust_radius: Array,
+    penalty: Array,
+    tol: float = 1e-7,
+    max_iterations: int = 20000,
+):
+    """Reference Cauchy LP on the banded problem via matrix-free PDLP.
+
+    Returns (d, var_states, cons_states, pdlp_result): the l-inf
+    trust-region LP step and the working-set estimate extracted from
+    bound proximity + reduced-cost signs (the information the reference
+    reads off the LP basis, standard_cauchy.c:843-1005).
+    """
+    from .ops import pdlp
+    from .types import ActiveState
+
+    Jl, Jr = problem.cons_jac_blocks(X)
+    C = problem.cons(X).reshape(-1)
+    g = problem.obj_grad(X).reshape(-1)
+    op = BandedCauchyOp(Jl, Jr)
+    n, m = op.n, op.m_rows
+    dtype = problem.dtype
+
+    big = jnp.asarray(1e20, dtype)
+    x_flat = X.reshape(-1)
+    vlb = problem.var_lb.reshape(-1)
+    vub = problem.var_ub.reshape(-1)
+    d_lb = jnp.maximum(
+        jnp.where(vlb < -INF_THRESHOLD, -big, vlb - x_flat), -trust_radius
+    )
+    d_ub = jnp.minimum(
+        jnp.where(vub > INF_THRESHOLD, big, vub - x_flat), trust_radius
+    )
+    clb = problem.cons_lb.reshape(-1)
+    cub = problem.cons_ub.reshape(-1)
+    w_lb = jnp.where(clb < -INF_THRESHOLD, -big, clb - C)
+    w_ub = jnp.where(cub > INF_THRESHOLD, big, cub - C)
+    zeros = jnp.zeros((m,), dtype)
+    infs = jnp.full((m,), 1e20, dtype)
+    lb = jnp.concatenate([d_lb, zeros, zeros, w_lb])
+    ub = jnp.concatenate([d_ub, infs, infs, w_ub])
+    c_obj = jnp.concatenate(
+        [g, jnp.full((2 * m,), penalty, dtype), jnp.zeros((m,), dtype)]
+    )
+
+    res = pdlp.solve(
+        op, c_obj, lb, ub, tol=tol, max_iterations=max_iterations
+    )
+    d = res.x[:n]
+
+    # -- working-set extraction (cauchy.py semantics): a variable is
+    # active only at a *true* bound (not the trust-region wall); a row is
+    # active when its logical column sits at a bound.
+    eps = 1e-6
+    x_new = x_flat + d
+    at_vlb = (vlb > -INF_THRESHOLD) & (
+        x_new <= vlb + eps * (1.0 + jnp.abs(vlb))
+    )
+    at_vub = (vub < INF_THRESHOLD) & (
+        x_new >= vub - eps * (1.0 + jnp.abs(vub))
+    )
+    rc = res.reduced_costs[:n]
+    var_states = jnp.where(
+        at_vlb & (rc >= 0.0),
+        ActiveState.ACTIVE_LOWER,
+        jnp.where(at_vub & (rc <= 0.0), ActiveState.ACTIVE_UPPER, 0),
+    ).astype(jnp.int8)
+
+    # a row is active only when its logical column sits at the bound AND
+    # the (first-order, hence noisy) dual does not contradict the side —
+    # dual magnitude alone misflags unresolved rows, bound proximity
+    # alone cannot pick the side of a degenerate row
+    w = res.x[n + 2 * m :]
+    duals = res.duals
+    prox = jnp.maximum(eps, 10.0 * res.primal_res)
+    at_wlb = (clb > -INF_THRESHOLD) & (
+        w <= w_lb + prox * (1.0 + jnp.abs(w_lb))
+    )
+    at_wub = (cub < INF_THRESHOLD) & (
+        w >= w_ub - prox * (1.0 + jnp.abs(w_ub))
+    )
+    # LP row duals carry the opposite sign of the NLP multipliers (a
+    # lower-active row has LP dual >= 0, NLP lambda <= 0)
+    cons_states = jnp.where(
+        at_wlb & (duals >= -eps),
+        ActiveState.ACTIVE_LOWER,
+        jnp.where(
+            at_wub & (duals <= eps), ActiveState.ACTIVE_UPPER, 0
+        ),
+    ).astype(jnp.int8)
+    # equalities are always active
+    is_eq = jnp.abs(cub - clb) <= 1e-12 * (1.0 + jnp.abs(clb))
+    cons_states = jnp.where(
+        is_eq, ActiveState.ACTIVE_LOWER, cons_states
+    ).astype(jnp.int8)
+    return d, var_states, cons_states, res
+
+
+# ---------------------------------------------------------------------------
+# Structured SQP loop
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BandedState:
+    X: Array  # (N_b, k)
+    lam: Array  # (N_b-1, q) constraint duals
+    act_low: Array  # (N_b-1, q) bool: active at lower
+    act_up: Array  # (N_b-1, q) bool
+    penalty: Array
+    reg: Array
+    iteration: Array
+    status: Array
+    num_accepted: Array
+    num_rejected: Array
+    obj_val: Array
+    feas_res: Array
+    stat_res: Array
+    last_ratio: Array
+    last_alpha: Array
+
+
+def banded_initial_state(
+    problem: BandedProblem,
+    settings: Settings,
+    X0: Array,
+    seed_working_set: bool = False,
+) -> BandedState:
+    dtype = problem.dtype
+    X = problem.clip(jnp.asarray(X0, dtype))
+    Nc, q = problem.N_b - 1, problem.q
+    act_low = jnp.zeros((Nc, q), bool)
+    act_up = jnp.zeros((Nc, q), bool)
+    lam = jnp.zeros((Nc, q), dtype)
+    if seed_working_set and q:
+        # seed from the reference Cauchy LP (PDLP backend)
+        _, _, cons_states, res = banded_cauchy(
+            problem,
+            X,
+            jnp.asarray(1.0, dtype),
+            jnp.asarray(10.0, dtype),
+        )
+        from .types import ActiveState
+
+        cs = cons_states.reshape(Nc, q)
+        act_low = cs == ActiveState.ACTIVE_LOWER
+        act_up = cs == ActiveState.ACTIVE_UPPER
+        # LP duals -> NLP multiplier sign convention
+        lam = -res.duals.reshape(Nc, q).astype(dtype) * (cs != 0)
+    zero = jnp.asarray(0.0, dtype)
+    return BandedState(
+        X=X,
+        lam=lam,
+        act_low=act_low,
+        act_up=act_up,
+        penalty=jnp.asarray(10.0, dtype),
+        reg=jnp.asarray(1e-8, dtype),
+        iteration=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        num_accepted=jnp.asarray(0, jnp.int32),
+        num_rejected=jnp.asarray(0, jnp.int32),
+        obj_val=problem.obj(X),
+        feas_res=zero + jnp.inf,
+        stat_res=zero + jnp.inf,
+        last_ratio=zero,
+        last_alpha=zero,
+    )
+
+
+def _violation(problem, C):
+    lo = jnp.maximum(problem.cons_lb - C, 0.0)
+    lo = jnp.where(problem.cons_lb < -INF_THRESHOLD, 0.0, lo)
+    hi = jnp.maximum(C - problem.cons_ub, 0.0)
+    hi = jnp.where(problem.cons_ub > INF_THRESHOLD, 0.0, hi)
+    return lo + hi
+
+
+def _kkt_solve(problem, Hd, Hs, Jl, Jr, act, target, g_eff, frozen, reg):
+    """Condensed SPD block-tridiagonal EQP solve.
+
+    minimize 1/2 d^T (H + reg I) d + g_eff^T d
+        s.t. J_W d = target (active rows), d_frozen = 0
+
+    via the exact augmented Lagrangian K = H + reg I + (1/DELTA) J_W^T
+    J_W (SPD, block-tridiagonal), lambda = (J_W d - target) / DELTA.
+    """
+    N_b, k = problem.N_b, problem.k
+    dtype = problem.dtype
+    free = ~frozen  # (N_b, k)
+
+    # masked Jacobian blocks: inactive rows and frozen columns drop out
+    aw = act[:, :, None].astype(dtype)
+    Jlm = Jl * aw * free[:-1, None, :]
+    Jrm = Jr * aw * free[1:, None, :]
+
+    # masked Hessian: zero frozen rows/cols, unit diagonal
+    ff_outer = free[:, :, None] * free[:, None, :]
+    Hdm = Hd * ff_outer + jnp.eye(k, dtype=dtype) * (
+        1.0 - free[:, :, None] * free[:, None, :]
+    ) * jnp.eye(k, dtype=dtype)
+    Hdm = Hdm + jnp.eye(k, dtype=dtype) * reg
+    Hsm = Hs * (free[1:, :, None] * free[:-1, None, :])
+
+    inv_delta = 1.0 / DELTA
+    Kd = Hdm
+    Kd = Kd.at[:-1].add(
+        inv_delta * jnp.einsum("tqi,tqj->tij", Jlm, Jlm)
+    )
+    Kd = Kd.at[1:].add(
+        inv_delta * jnp.einsum("tqi,tqj->tij", Jrm, Jrm)
+    )
+    Ks = Hsm + inv_delta * jnp.einsum("tqi,tqj->tij", Jrm, Jlm)
+
+    tgt = target * act.astype(dtype)
+    rhs = -(g_eff * free)
+    rhs = rhs.at[:-1].add(inv_delta * jnp.einsum("tqk,tq->tk", Jlm, tgt))
+    rhs = rhs.at[1:].add(inv_delta * jnp.einsum("tqk,tq->tk", Jrm, tgt))
+
+    d = block_tridiag_solve(Kd, Ks, rhs)
+    d = d * free
+
+    Jd = jnp.einsum("tqk,tk->tq", Jlm, d[:-1]) + jnp.einsum(
+        "tqk,tk->tq", Jrm, d[1:]
+    )
+    lam = (Jd - tgt) * inv_delta * act.astype(dtype)
+    return d, lam
+
+
+def banded_perform_iteration(
+    problem: BandedProblem, settings: Settings, state: BandedState
+) -> BandedState:
+    """One structured SQP iteration on the banded problem
+    (problem_solver/iteration.c:350 with the subproblem layers
+    specialized to block-banded structure)."""
+    dtype = problem.dtype
+    X = state.X
+    N_b, k, q = problem.N_b, problem.k, problem.q
+
+    g = problem.obj_grad(X)
+    C = problem.cons(X)
+    Jl, Jr = problem.cons_jac_blocks(X)
+    viol = _violation(problem, C)
+    feas_res = jnp.max(viol, initial=0.0)
+
+    # ---- working-set update: epsilon-active + wrong-sign dual drop ----
+    tol_act = settings.eps * 1e4
+    scale_lo = 1.0 + jnp.abs(problem.cons_lb)
+    scale_hi = 1.0 + jnp.abs(problem.cons_ub)
+    is_eq = jnp.abs(problem.cons_ub - problem.cons_lb) <= 1e-12 * scale_lo
+    near_lo = (problem.cons_lb > -INF_THRESHOLD) & (
+        C <= problem.cons_lb + tol_act * scale_lo
+    )
+    near_up = (problem.cons_ub < INF_THRESHOLD) & (
+        C >= problem.cons_ub - tol_act * scale_hi
+    )
+    # drop rows whose multiplier has the wrong sign (lower-active needs
+    # lam <= 0, upper-active lam >= 0 — reference working-set semantics);
+    # a just-released row must NOT be re-added by bound proximity, or the
+    # EQP would pin it right back (classic active-set release)
+    wrong_lo = state.act_low & ~is_eq & (state.lam > tol_act)
+    wrong_up = state.act_up & (state.lam < -tol_act)
+    keep_lo = state.act_low & ~wrong_lo
+    keep_up = state.act_up & ~wrong_up
+    act_low = is_eq | (near_lo & ~wrong_lo) | keep_lo
+    act_up = (~is_eq) & ((near_up & ~wrong_up) | keep_up) & ~act_low
+    act = act_low | act_up
+
+    # EQP target: step onto the active bound (c + J d = bound)
+    target = jnp.where(
+        act_low, problem.cons_lb - C, jnp.where(act_up, problem.cons_ub - C, 0.0)
+    )
+
+    # ---- variable-bound freeze via reduced gradient -------------------
+    r = g
+    if q:
+        r = r.at[:-1].add(jnp.einsum("tqk,tq->tk", Jl, state.lam))
+        r = r.at[1:].add(jnp.einsum("tqk,tq->tk", Jr, state.lam))
+    at_lb = (problem.var_lb > -INF_THRESHOLD) & (
+        X <= problem.var_lb + settings.eps * (1.0 + jnp.abs(problem.var_lb))
+    )
+    at_ub = (problem.var_ub < INF_THRESHOLD) & (
+        X >= problem.var_ub - settings.eps * (1.0 + jnp.abs(problem.var_ub))
+    )
+    frozen = (at_lb & (r > 0.0)) | (at_ub & (r < 0.0))
+
+    # ---- stationarity (free variables; frozen have bound duals) -------
+    stat_res = jnp.max(jnp.abs(jnp.where(frozen, 0.0, r)), initial=0.0)
+    # active-set sign optimality: no kept row with a wrong-signed dual
+    sign_ok = jnp.all(
+        jnp.where(
+            state.act_low & ~is_eq,
+            state.lam <= tol_act,
+            jnp.where(state.act_up, state.lam >= -tol_act, True),
+        )
+    )
+    optimal = (
+        (feas_res <= settings.feas_tol)
+        & (stat_res <= settings.stat_tol)
+        & sign_ok
+    )
+    deadpoint = state.reg >= REG_MAX
+
+    # ---- EQP step on the working set ----------------------------------
+    Hd, Hs = problem.lag_hess_blocks(X, state.lam * act.astype(dtype))
+    d, lam_qp = _kkt_solve(
+        problem, Hd, Hs, Jl, Jr, act, target, g, frozen, state.reg
+    )
+    step_ok = jnp.all(jnp.isfinite(d)) & jnp.all(jnp.isfinite(lam_qp))
+    d = jnp.where(step_ok, d, 0.0)
+    lam_qp = jnp.where(step_ok, lam_qp, state.lam)
+
+    # ---- penalty above multiplier scale (penalty.c:5-50) --------------
+    lam_norm = jnp.max(jnp.abs(lam_qp), initial=0.0)
+    penalty = jnp.where(
+        state.penalty >= 1.5 * lam_norm,
+        state.penalty,
+        jnp.maximum(10.0 * state.penalty, 2.0 * lam_norm),
+    )
+
+    # ---- l1 merit + backtracking linesearch ---------------------------
+    gd = jnp.sum(g * d)
+    dHd = jnp.einsum("ti,tij,tj->", d, Hd, d) + 2.0 * jnp.einsum(
+        "ti,tij,tj->", d[1:], Hs, d[:-1]
+    )
+    viol0 = jnp.sum(viol)
+    merit0 = state.obj_val + penalty * viol0
+
+    def trial_merit(alpha):
+        Xa = problem.clip(X + alpha * d)
+        Ca = problem.cons(Xa)
+        viol_a = jnp.sum(_violation(problem, Ca))
+        return problem.obj(Xa) + penalty * viol_a, Xa
+
+    descent = penalty * viol0 - gd
+
+    def ls_cond(carry):
+        alpha, merit_a, kk, done = carry
+        return (~done) & (kk < MAX_LINESEARCH_STEPS)
+
+    def ls_body(carry):
+        alpha, _, kk, _ = carry
+        merit_a, _ = trial_merit(alpha)
+        armijo = merit_a <= merit0 - settings.linesearch_eta * alpha * descent
+        next_alpha = jnp.where(armijo, alpha, settings.linesearch_tau * alpha)
+        return next_alpha, merit_a, kk + 1, armijo
+
+    has_descent = (descent > 0.0) & step_ok
+    alpha, _, _, ls_ok = lax.while_loop(
+        ls_cond,
+        ls_body,
+        (
+            jnp.asarray(1.0, dtype),
+            merit0,
+            jnp.asarray(0, jnp.int32),
+            ~has_descent,
+        ),
+    )
+    accepted = ls_ok & has_descent
+    alpha = jnp.where(accepted, alpha, 0.0)
+
+    merit_trial, X_new = trial_merit(alpha)
+    pred = alpha * descent - 0.5 * alpha**2 * dHd
+    actual = merit0 - merit_trial
+    eps10 = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(merit0))
+    tiny = (jnp.abs(pred) <= eps10) & (jnp.abs(actual) <= eps10)
+    ratio = jnp.where(tiny, 1.0, actual / jnp.where(pred == 0.0, 1.0, pred))
+
+    # ---- Levenberg update (trust_radius.c:47-84 thresholds) -----------
+    reg_accept = jnp.where(
+        ratio >= 0.9,
+        jnp.maximum(state.reg / 7.0, REG_MIN),
+        jnp.where(
+            ratio >= 0.3, jnp.maximum(state.reg / 2.0, REG_MIN), state.reg
+        ),
+    )
+    reg_reject = jnp.minimum(jnp.maximum(10.0 * state.reg, REG_FAIL), REG_MAX)
+    reg_new = jnp.where(accepted, reg_accept, reg_reject)
+
+    X_next = jnp.where(accepted, X_new, X)
+    lam_next = jnp.where(step_ok, lam_qp, state.lam)
+
+    running = BandedState(
+        X=X_next,
+        lam=lam_next,
+        act_low=act_low,
+        act_up=act_up,
+        penalty=penalty,
+        reg=reg_new,
+        iteration=state.iteration + 1,
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        num_accepted=state.num_accepted + accepted.astype(jnp.int32),
+        num_rejected=state.num_rejected + (~accepted).astype(jnp.int32),
+        obj_val=problem.obj(X_next),
+        feas_res=feas_res,
+        stat_res=stat_res,
+        last_ratio=ratio,
+        last_alpha=alpha,
+    )
+
+    stop = optimal | deadpoint
+    stop_status = jnp.where(
+        optimal, Status.OPTIMAL, Status.ABORT_DEADPOINT
+    ).astype(jnp.int32)
+    stopped = dataclasses.replace(
+        state, status=stop_status, feas_res=feas_res, stat_res=stat_res
+    )
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(stop, a, b), stopped, running
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def banded_solve_jit(
+    problem: BandedProblem,
+    settings: Settings,
+    state0: BandedState,
+    max_iterations: int,
+) -> BandedState:
+    def cond(s):
+        return (s.status == Status.RUNNING) & (s.iteration < max_iterations)
+
+    def body(s):
+        return banded_perform_iteration(problem, settings, s)
+
+    final = lax.while_loop(cond, body, state0)
+    return dataclasses.replace(
+        final,
+        status=jnp.where(
+            final.status == Status.RUNNING,
+            jnp.asarray(Status.ABORT_ITER, jnp.int32),
+            final.status,
+        ),
+    )
+
+
+def banded_solve(
+    problem: BandedProblem,
+    settings: Optional[Settings] = None,
+    X0: Optional[Array] = None,
+    max_iterations: int = 200,
+    seed_working_set: bool = False,
+) -> BandedState:
+    """Solve a banded NLP; returns the final BandedState."""
+    settings = settings or Settings()
+    if X0 is None:
+        X0 = jnp.zeros((problem.N_b, problem.k), problem.dtype)
+    state0 = banded_initial_state(
+        problem, settings, X0, seed_working_set=seed_working_set
+    )
+    return banded_solve_jit(problem, settings, state0, max_iterations)

@@ -219,3 +219,73 @@ def schur_block_tridiag_solve(D: Array, L: Array, b: Array, num_chunks: int):
     x = x.at[ids].set(x_ch.reshape(-1, k))
     x = x.at[sep_idx].set(s)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-indefinite (quasi-definite) variant
+# ---------------------------------------------------------------------------
+
+
+def block_thomas_factor_lu(D: Array, L: Array):
+    """Factor a *symmetric indefinite* block-tridiagonal matrix via the
+    same Schur recursion with LU pivoting per block.
+
+    Intended for regularized (quasi-definite) KKT systems
+    [H + rho I, J^T; J, -delta I] interleaved per stage (banded.py),
+    where the Cholesky recursion of ``block_thomas_factor`` does not
+    apply.  Returns (lus, pivs) of the Schur-complemented diagonals.
+    """
+    from jax.scipy.linalg import lu_factor, lu_solve
+
+    N, k, _ = D.shape
+
+    def step(carry, inputs):
+        lu_prev, piv_prev = carry
+        D_i, L_im1 = inputs
+        W = lu_solve((lu_prev, piv_prev), L_im1.T)  # C^{-1} L^T
+        C_i = D_i - L_im1 @ W
+        lu_i, piv_i = lu_factor(C_i)
+        return (lu_i, piv_i), (lu_i, piv_i)
+
+    lu0, piv0 = lu_factor(D[0])
+    _, (lus_rest, pivs_rest) = lax.scan(step, (lu0, piv0), (D[1:], L))
+    lus = jnp.concatenate([lu0[None], lus_rest], axis=0)
+    pivs = jnp.concatenate([piv0[None], pivs_rest], axis=0)
+    return lus, pivs
+
+
+def block_thomas_solve_lu(lus: Array, pivs: Array, L: Array, b: Array) -> Array:
+    """Solve with factors from ``block_thomas_factor_lu`` (b: (N, k))."""
+    from jax.scipy.linalg import lu_solve
+
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
+
+    def fwd(carry, inputs):
+        y_prev_solved = carry
+        b_i, L_im1, lu_i, piv_i = inputs
+        y_i = b_i - L_im1 @ y_prev_solved
+        solved = lu_solve((lu_i, piv_i), y_i)
+        return solved, solved
+
+    y0 = lu_solve((lus[0], pivs[0]), b[0])
+    _, ys_rest = lax.scan(fwd, y0, (b[1:], L, lus[1:], pivs[1:]))
+    ys = jnp.concatenate([y0[None], ys_rest], axis=0)
+
+    def bwd(carry, inputs):
+        x_next = carry
+        ys_i, L_i, lu_i, piv_i = inputs
+        x_i = ys_i - lu_solve((lu_i, piv_i), L_i.T @ x_next)
+        return x_i, x_i
+
+    xN = ys[-1]
+    _, xs_rest = lax.scan(bwd, xN, (ys[:-1], L, lus[:-1], pivs[:-1]), reverse=True)
+    x = jnp.concatenate([xs_rest, xN[None]], axis=0)
+    return x[..., 0] if squeeze else x
+
+
+def block_tridiag_solve_lu(D: Array, L: Array, b: Array) -> Array:
+    """Convenience: LU factor + solve (symmetric indefinite blocks)."""
+    lus, pivs = block_thomas_factor_lu(D, L)
+    return block_thomas_solve_lu(lus, pivs, L, b)

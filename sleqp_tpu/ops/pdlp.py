@@ -61,44 +61,78 @@ class PDLPResult(NamedTuple):
     dual_res: Array  # ||proj of reduced costs||_inf
 
 
-def _ruiz_equilibrate(A: Array, iters: int = 10):
+class DenseOp:
+    """Operator view of a dense constraint matrix.
+
+    PDHG touches A only through matvecs and |A| row/col maxima, so the
+    solver runs equally on any implicit operator exposing this protocol
+    — e.g. a banded Jacobian stored as diagonals (banded.py) whose dense
+    form would not fit on chip.
+    """
+
+    def __init__(self, A: Array):
+        self.A = A
+        self.shape = A.shape
+        self.dtype = A.dtype
+
+    def mv(self, x: Array) -> Array:  # A @ x
+        return self.A @ x
+
+    def rmv(self, y: Array) -> Array:  # A^T y
+        return y @ self.A
+
+    def scaled_row_max(self, d_c: Array) -> Array:  # max_j |A_ij| d_c[j]
+        return jnp.max(jnp.abs(self.A) * d_c[None, :], axis=1)
+
+    def scaled_col_max(self, d_r: Array) -> Array:  # max_i |A_ij| d_r[i]
+        return jnp.max(jnp.abs(self.A) * d_r[:, None], axis=0)
+
+
+def _as_op(A):
+    return A if hasattr(A, "mv") else DenseOp(A)
+
+
+def _ruiz_equilibrate(op, iters: int = 10):
     """Ruiz row/column inf-norm equilibration: returns (d_r, d_c) with
     D_r A D_c well-scaled.  Standard LP preconditioning (used by PDLP);
     dramatically improves PDHG convergence on penalty-LP geometry."""
-    m, N = A.shape
-    d_r = jnp.ones((m,), A.dtype)
-    d_c = jnp.ones((N,), A.dtype)
+    m, N = op.shape
+    d_r = jnp.ones((m,), op.dtype)
+    d_c = jnp.ones((N,), op.dtype)
 
     def body(_, carry):
         d_r, d_c = carry
-        As = A * d_r[:, None] * d_c[None, :]
-        row = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(As), axis=1), 1e-30))
-        col = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(As), axis=0), 1e-30))
+        row = jnp.sqrt(
+            jnp.maximum(d_r * op.scaled_row_max(d_c), 1e-30)
+        )
+        col = jnp.sqrt(
+            jnp.maximum(d_c * op.scaled_col_max(d_r), 1e-30)
+        )
         return d_r / row, d_c / col
 
     d_r, d_c = lax.fori_loop(0, iters, body, (d_r, d_c))
     return d_r, d_c
 
 
-def _norm_estimate(A: Array, iters: int = 30) -> Array:
-    """Power iteration for ||A||_2 (deterministic start)."""
-    m, N = A.shape
-    v = jnp.full((N,), 1.0 / jnp.sqrt(N), dtype=A.dtype)
+def _norm_estimate(op, d_r, d_c, iters: int = 30) -> Array:
+    """Power iteration for ||D_r A D_c||_2 (deterministic start)."""
+    m, N = op.shape
+    v = jnp.full((N,), 1.0 / jnp.sqrt(N), dtype=op.dtype)
 
     def body(_, v):
-        w = A @ v
-        u = A.T @ w
+        w = d_r * op.mv(d_c * v)
+        u = d_c * op.rmv(d_r * w)
         return u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
 
     v = lax.fori_loop(0, iters, body, v)
-    return jnp.linalg.norm(A @ v) + 1e-12
+    return jnp.linalg.norm(d_r * op.mv(d_c * v)) + 1e-12
 
 
 def _proj(x: Array, lb: Array, ub: Array) -> Array:
     return jnp.clip(x, lb, ub)
 
 
-def _kkt_residuals(A, c, lb, ub, x, y):
+def _kkt_residuals(op, c, lb, ub, x, y):
     """PDLP-style termination measures for the box LP (simplex dual sign
     convention: reduced costs r = c - A^T y):
 
@@ -110,7 +144,7 @@ def _kkt_residuals(A, c, lb, ub, x, y):
       complementarity measure that is meaningful for non-vertex
       (first-order) iterates.
     """
-    r = c - y @ A
+    r = c - op.rmv(y)
     finite_lb = lb > -INF_THRESHOLD
     finite_ub = ub < INF_THRESHOLD
     r_pos = jnp.maximum(r, 0.0)
@@ -123,7 +157,7 @@ def _kkt_residuals(A, c, lb, ub, x, y):
     )
     pobj = jnp.vdot(c, x)
     gap = jnp.abs(pobj - dual_obj) / (1.0 + jnp.abs(pobj) + jnp.abs(dual_obj))
-    pres = jnp.max(jnp.abs(A @ x), initial=0.0)
+    pres = jnp.max(jnp.abs(op.mv(x)), initial=0.0)
     return pres, jnp.maximum(dres, gap)
 
 
@@ -141,17 +175,19 @@ def solve(
 ) -> PDLPResult:
     """Restarted-average PDHG with Ruiz equilibration and adaptive
     primal weight, to KKT tolerance ``tol`` (scaled, measured in the
-    ORIGINAL problem space)."""
-    m, N = A.shape
-    dtype = A.dtype
+    ORIGINAL problem space).  ``A`` may be a dense (m, N) array or any
+    operator with the DenseOp protocol (mv/rmv/scaled_row_max/
+    scaled_col_max/shape/dtype) — the matrix itself is never formed."""
+    op = _as_op(A)
+    m, N = op.shape
+    dtype = op.dtype
     # clamp infinities so the projection arithmetic stays finite
     big = jnp.asarray(1e18, dtype)
     lb = jnp.maximum(lb, -big)
     ub = jnp.minimum(ub, big)
 
-    # ---- Ruiz-equilibrated problem: Ab = Dr A Dc, xb = x / dc ---------
-    d_r, d_c = _ruiz_equilibrate(A)
-    Ab = A * d_r[:, None] * d_c[None, :]
+    # ---- Ruiz scaling kept as vectors: Ab = Dr A Dc applied on the fly
+    d_r, d_c = _ruiz_equilibrate(op)
     cb = c * d_c
     lbb = lb / d_c
     ubb = ub / d_c
@@ -161,7 +197,7 @@ def solve(
     )
     yb = jnp.zeros((m,), dtype) if y0 is None else y0 / d_r
 
-    Anorm = _norm_estimate(Ab)
+    Anorm = _norm_estimate(op, d_r, d_c)
     scale = 1.0 + jnp.max(jnp.abs(c))
     rtol = tol * scale
 
@@ -185,7 +221,7 @@ def solve(
         """KKT residuals in the original space (simplex sign convention)."""
         x = d_c * xb
         y = d_r * yb
-        return _kkt_residuals(A, c, lb, ub, x, -y)
+        return _kkt_residuals(op, c, lb, ub, x, -y)
 
     def cond(s):
         return (~s["done"]) & (s["it"] < max_iterations)
@@ -196,8 +232,8 @@ def solve(
         # sigma = eta*omega (tau*sigma*||A||^2 < 1 for any omega)
         tau = 0.9 / (omega * Anorm)
         sigma = 0.9 * omega / Anorm
-        x_new = _proj(x - tau * (cb + y @ Ab), lbb, ubb)
-        y_new = y + sigma * (Ab @ (2.0 * x_new - x))
+        x_new = _proj(x - tau * (cb + d_c * op.rmv(d_r * y)), lbb, ubb)
+        y_new = y + sigma * (d_r * op.mv(d_c * (2.0 * x_new - x)))
 
         x_sum = s["x_sum"] + x_new
         y_sum = s["y_sum"] + y_new
@@ -281,8 +317,8 @@ def solve(
     # match the simplex dual sign convention: reduced costs r = c - y A
     # with y such that r >= 0 at lower bounds at optimality
     y_out = -y
-    r = c - y_out @ A
-    pres, dres = _kkt_residuals(A, c, lb, ub, x, y_out)
+    r = c - op.rmv(y_out)
+    pres, dres = _kkt_residuals(op, c, lb, ub, x, y_out)
 
     # ---- synthesized basis statuses -----------------------------------
     eps = 1e-7

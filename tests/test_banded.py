@@ -1,0 +1,220 @@
+"""Banded structured path (BASELINE config 3; reference reaches this
+scale via sparse aug-Jac + factorization, standard_aug_jac.c:34-101,
+fact.c:22, and sparse LP backends, lpi_highs.c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sleqp_tpu import Func, Problem, Settings, Status
+from sleqp_tpu.banded import (
+    BandedProblem,
+    banded_cauchy,
+    banded_solve,
+)
+from sleqp_tpu.types import ActiveState
+
+
+def _chain_problem(N_b=6, k=2):
+    tgt = jnp.arange(N_b, dtype=jnp.float64)
+
+    def obj(x, t):
+        return jnp.sum((x - tgt[t]) ** 2)
+
+    def cons(a, b, t):
+        return b - a
+
+    return BandedProblem(
+        obj,
+        N_b,
+        k,
+        cons_block=cons,
+        cons_per_block=k,
+        var_lb=0.0,
+        var_ub=3.0,
+        cons_lb=-0.5,
+        cons_ub=0.5,
+    )
+
+
+def test_banded_chain_solves():
+    p = _chain_problem()
+    st = banded_solve(p, Settings(), max_iterations=100)
+    assert int(st.status) == Status.OPTIMAL
+    # targets 0..5 clipped by |x_{t+1}-x_t| <= 0.5 and x <= 3
+    expect = np.array([1.0, 1.5, 2.0, 2.5, 3.0, 3.0])
+    np.testing.assert_allclose(np.asarray(st.X)[:, 0], expect, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.X)[:, 1], expect, atol=1e-5)
+    assert float(st.feas_res) <= 1e-6
+    assert float(st.stat_res) <= 1e-6
+
+
+def test_banded_matches_dense_path():
+    """Same NLP through the banded path and the dense general solver."""
+    N_b, k, q = 4, 2, 1
+    w = jnp.asarray([[0.8, -0.3], [1.4, 0.2], [-0.5, 0.9], [0.1, 1.2]])
+
+    def obj_block(x, t):
+        return jnp.sum((x - w[t]) ** 2)
+
+    def cons_block(a, b, t):
+        return jnp.array([jnp.vdot(a, a) - b[0]])
+
+    bp = BandedProblem(
+        obj_block,
+        N_b,
+        k,
+        cons_block=cons_block,
+        cons_per_block=q,
+        var_lb=-2.0,
+        var_ub=2.0,
+        cons_lb=-0.5,
+        cons_ub=0.5,
+    )
+    st = banded_solve(bp, Settings(), max_iterations=100)
+    assert int(st.status) == Status.OPTIMAL
+
+    # dense equivalent through the main solver
+    n = N_b * k
+
+    def obj(x):
+        X = x.reshape(N_b, k)
+        return jnp.sum((X - w) ** 2)
+
+    def cons(x):
+        X = x.reshape(N_b, k)
+        return jax.vmap(cons_block)(
+            X[:-1], X[1:], jnp.arange(N_b - 1)
+        ).reshape(-1)
+
+    func = Func(obj, num_variables=n, cons=cons, num_cons=N_b - 1)
+    problem = Problem(
+        func, var_lb=-2.0, var_ub=2.0, general_lb=-0.5, general_ub=0.5
+    )
+    from sleqp_tpu.problem_solver import solve
+
+    dense = solve(problem, Settings(), jnp.zeros(n), max_iterations=200)
+    assert int(dense.status) == Status.OPTIMAL
+    np.testing.assert_allclose(
+        float(st.obj_val), float(dense.it.obj_val), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.X).reshape(-1), np.asarray(dense.it.x), atol=1e-4
+    )
+
+
+def test_banded_large_scale():
+    """n >= 10^4 banded NLP to 1e-6 in block-banded memory (BASELINE
+    config 3 done-criterion)."""
+    N_b, k, q = 160, 64, 16
+    n = N_b * k
+    assert n >= 10_000
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.standard_normal((N_b, k)) * 0.5)
+    S = jnp.asarray(rng.standard_normal((N_b - 1, q, k)) * 0.3)
+
+    def obj(x, t):
+        return jnp.sum((x - W[t]) ** 2) + 0.1 * jnp.sum(jnp.cos(x))
+
+    def cons(a, b, t):
+        return S[t] @ (b - a) + 0.05 * (S[t] @ a) ** 2
+
+    p = BandedProblem(
+        obj,
+        N_b,
+        k,
+        cons_block=cons,
+        cons_per_block=q,
+        var_lb=-2.0,
+        var_ub=2.0,
+        cons_lb=-0.3,
+        cons_ub=0.3,
+    )
+    st = banded_solve(p, Settings(), max_iterations=100)
+    assert int(st.status) == Status.OPTIMAL
+    assert float(st.feas_res) <= 1e-6
+    assert float(st.stat_res) <= 1e-6
+    # active-set sign optimality at the solution
+    lam = np.asarray(st.lam)
+    assert np.all(np.where(np.asarray(st.act_low), lam, 0.0) <= 1e-6)
+    assert np.all(np.where(np.asarray(st.act_up), lam, 0.0) >= -1e-6)
+
+
+def test_banded_cauchy_extraction_large():
+    """Matrix-free PDLP Cauchy at n >= 10^4: every extracted active row
+    sits on its bound at the LP step, with NLP-sign-consistent duals
+    (the working-set information standard_cauchy.c:843 reads off the
+    simplex basis)."""
+    N_b, k, q = 160, 64, 8
+    rng = np.random.default_rng(1)
+    W = jnp.asarray(rng.standard_normal((N_b, k)) * 2.0)
+
+    def obj(x, t):
+        return jnp.sum((x - W[t]) ** 2)
+
+    def cons(a, b, t):
+        return (b - a)[:q]
+
+    p = BandedProblem(
+        obj,
+        N_b,
+        k,
+        cons_block=cons,
+        cons_per_block=q,
+        var_lb=-1.0,
+        var_ub=1.0,
+        cons_lb=-0.1,
+        cons_ub=0.1,
+    )
+    X = jnp.zeros((N_b, k))
+    d, vs, cs, res = banded_cauchy(
+        p, X, jnp.asarray(0.5), jnp.asarray(100.0), tol=1e-7
+    )
+    assert int(res.state) == 0  # PDLP OPTIMAL
+    g = np.asarray(p.obj_grad(X).reshape(-1))
+    assert float(g @ np.asarray(d)) < 0.0  # descent step
+
+    cs_np = np.asarray(cs)
+    assert (cs_np != 0).sum() > 500  # a substantial active set exists
+    C1 = np.asarray(p.cons(X + d.reshape(N_b, k)).reshape(-1))
+    lo = cs_np == int(ActiveState.ACTIVE_LOWER)
+    up = cs_np == int(ActiveState.ACTIVE_UPPER)
+    # extracted rows sit at their bounds at the stepped point (the
+    # constraints here are linear, so c(X+d) == c + J d exactly)
+    np.testing.assert_allclose(C1[lo], -0.1, atol=1e-4)
+    np.testing.assert_allclose(C1[up], 0.1, atol=1e-4)
+    # NLP dual convention: lower-active lambda <= 0
+    lam = -np.asarray(res.duals)
+    assert np.all(lam[lo] <= 1e-6)
+    assert np.all(lam[up] >= -1e-6)
+
+
+def test_banded_seeded_working_set():
+    """Seeding the SQP working set from the PDLP Cauchy solve."""
+    p = _chain_problem()
+    st = banded_solve(
+        p, Settings(), max_iterations=100, seed_working_set=True
+    )
+    assert int(st.status) == Status.OPTIMAL
+    assert float(st.feas_res) <= 1e-6
+
+
+def test_banded_active_set_release():
+    """A wrong initial working set must be released, not pinned."""
+    p = _chain_problem()
+    from sleqp_tpu.banded import banded_initial_state, banded_solve_jit
+
+    s0 = banded_initial_state(p, Settings(), jnp.zeros((p.N_b, p.k)))
+    import dataclasses
+
+    # claim every row active-at-upper with wrong-sign multipliers
+    s0 = dataclasses.replace(
+        s0,
+        act_up=jnp.ones_like(s0.act_up),
+        lam=jnp.full_like(s0.lam, -1.0),
+    )
+    st = banded_solve_jit(p, Settings(), s0, 100)
+    assert int(st.status) == Status.OPTIMAL
+    expect = np.array([1.0, 1.5, 2.0, 2.5, 3.0, 3.0])
+    np.testing.assert_allclose(np.asarray(st.X)[:, 0], expect, atol=1e-5)
