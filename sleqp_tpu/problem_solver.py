@@ -647,6 +647,21 @@ def perform_iteration(
     else:
         num_assert_fail = jnp.asarray(0, jnp.int32)
 
+    # ---- solver-level local-infeasibility stall test ------------------
+    # (trial_point.c:450-485 sleqp_trial_point_solver_locally_infeasible):
+    # infeasible iterate + (numerically) zero LP step + zero trial step
+    # means neither first- nor second-order information can move — hand
+    # over to the restoration phase instead of grinding the radius down
+    # to the deadpoint bound.  This is the escape from penalty-degenerate
+    # stalls (g ~ penalty J^T 1 ties every LP vertex, e.g. HS64).
+    if m > 0:
+        li_stall = (
+            (~is_feasible)
+            & (jnp.linalg.norm(cres.lp_step) <= settings.eps)
+            & (jnp.linalg.norm(trial_dir.primal) <= settings.eps)
+        )
+        locally_infeasible = locally_infeasible | li_stall
+
     # ---- trial evaluation + step rule ---------------------------------
     x_trial = problem.clip_to_bounds(it.x + trial_dir.primal)
     if is_dynamic:

@@ -257,27 +257,47 @@ class Solver:
             self._restoration = (rest_problem, rest_settings)
         rest_problem, rest_settings = self._restoration
 
+        from .iterate import max_violation
+
         x = state.it.x
-        z0 = restoration_initial_point(self.problem, x)
-        rest_state = solve_jit(
-            rest_problem,
-            rest_settings,
-            initial_state(rest_problem, rest_settings, z0),
-            max_iterations,
-        )
-        rest_status = Status(int(rest_state.status))
-        x_restored = rest_state.it.x[: self.problem.num_variables]
+        z = restoration_initial_point(self.problem, x)
+        # The reference exits restoration when the *original* iterate
+        # becomes feasible (solver/solve.c:214-231), not when the
+        # restoration LSQ reaches its own stationarity: with tiny
+        # constraint Jacobians, ||J^T r|| passes stat_tol while the
+        # residual (= original violation) is still large.  Emulate the
+        # original-feasibility criterion by tightening the restoration
+        # tolerances and continuing whenever its "optimum" leaves the
+        # original infeasible.
+        import dataclasses
+
+        rs = rest_settings
+        for _ in range(3):
+            rest_state = solve_jit(
+                rest_problem,
+                rs,
+                initial_state(rest_problem, rs, z),
+                max_iterations,
+            )
+            rest_status = Status(int(rest_state.status))
+            x_restored = rest_state.it.x[: self.problem.num_variables]
+            c = self.problem.cons_val(x_restored)
+            viol = float(max_violation(self.problem.data, c))
+            if viol <= self.settings.feas_tol * 10 or rest_status not in (
+                Status.OPTIMAL,
+                Status.ABORT_ITER,
+            ):
+                break
+            rs = rs.replace(
+                stat_tol=rs.stat_tol * 1e-4, slack_tol=rs.slack_tol * 1e-4
+            )
+            z = rest_state.it.x
 
         logger.info(
             "Restoration finished with status %s (objective %.3e)",
             rest_status.name,
             float(rest_state.it.obj_val),
         )
-        # feasible again? continue optimizing from the restored point
-        c = self.problem.cons_val(x_restored)
-        from .iterate import max_violation
-
-        viol = float(max_violation(self.problem.data, c))
         if viol <= self.settings.feas_tol * 10:
             # Toggle back per solver/phase.c:97-147 fill_optimization_iterate:
             # only the primal and the function values are refreshed; duals,
@@ -297,10 +317,29 @@ class Solver:
                 var_states=state.it.var_states,
                 cons_states=state.it.cons_states,
             )
+            # Fresh trust radii for the new region (the collapsed radii
+            # that triggered restoration describe the old stall
+            # neighborhood; problem_solver.c:83-107 initial choice), and
+            # penalty escalation per toggle: entering restoration means
+            # the optimization phase stalled infeasible at the current
+            # penalty — the usual Byrd update (penalty.c:5-50) is blind
+            # exactly when the stall is penalty-degenerate
+            # (g ~ penalty J^T 1, every LP vertex tied, e.g. HS64), so
+            # the phase machinery supplies the escalation instead.
+            from .problem_solver import TRUST_REGION_FACTOR
+
+            n = self.problem.num_variables
+            dtype = self.problem.dtype
             return dataclasses.replace(
                 state,
                 it=new_it,
                 status=jnp.asarray(Status.RUNNING, jnp.int32),
+                trust_radius=jnp.asarray(1.0, dtype=dtype),
+                lp_trust_radius=jnp.asarray(
+                    TRUST_REGION_FACTOR / float(np.sqrt(max(n, 1))),
+                    dtype=dtype,
+                ),
+                penalty=state.penalty * 10.0,
             )
         # restoration converged but original still infeasible
         logger.info("Restoration could not restore feasibility")

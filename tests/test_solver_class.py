@@ -87,3 +87,26 @@ def test_polishing_zero_dual():
     vstates = np.asarray(it.var_states)
     vduals = np.asarray(it.vars_dual)
     assert np.all(vduals[vstates != 0] != 0)
+
+
+def test_hs64_penalty_degenerate_stall_escape():
+    """HS64 stalls at a penalty-degenerate merit-stationary infeasible
+    point (g ~ penalty J^T 1 ties every Cauchy LP vertex, so the Byrd
+    update is blind); the solver must detect the stall as local
+    infeasibility (trial_point.c:450-485), restore, and re-optimize
+    with escalated penalty to the true optimum."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sleqp_tpu import Settings, Status
+    from sleqp_tpu.harness.hs import get_problem
+    from sleqp_tpu.solver import Solver
+
+    problem, x0, f_opt = get_problem("hs64")
+    solver = Solver(problem, x0, Settings())
+    status = solver.solve(max_iterations=500)
+    assert status == Status.OPTIMAL
+    assert solver.num_phase_toggles >= 1  # restoration was required
+    np.testing.assert_allclose(solver.obj_val, f_opt, rtol=1e-5)
+    feas, slack, stat = solver.residuals()
+    assert feas <= 1e-6 and stat <= 1e-6
