@@ -749,3 +749,14 @@ def solve_box_cauchy(
         lp_state=jnp.asarray(simplex.OPTIMAL, jnp.int32),
         lp_iterations=jnp.asarray(0, jnp.int32),
     )
+
+
+def dump_cauchy_lp(data, it, trust_radius, penalty, path, feasibility_mode=False):
+    """Write the current Cauchy LP to ``path`` in CPLEX LP format (the
+    reference lpi ``write`` debugging op, lpi_types.h:100-118).  Host
+    utility: assembles the same (A, lb, ub, c) the solver would."""
+    from .ops.simplex import write_lp
+
+    A, lb, ub = _lp_data(data, it, jnp.asarray(trust_radius))
+    c = _objective(it, jnp.asarray(penalty), feasibility_mode)
+    write_lp(A, lb, ub, c, path)

@@ -637,3 +637,46 @@ def polish_full_precision(
     )
 
 
+
+
+def write_lp(A, lb, ub, c, path, name="cauchy_lp") -> None:
+    """Dump the LP ``min c^T x  s.t.  A x = 0, lb <= x <= ub`` in CPLEX
+    LP text format (reference: the lpi ``write`` op, lpi_types.h:100-118
+    — backend-native dumps used for offline debugging).  Host-side
+    utility; call outside jit."""
+    import numpy as np
+
+    from ..types import INF_THRESHOLD
+
+    A = np.asarray(A)
+    lb = np.asarray(lb)
+    ub = np.asarray(ub)
+    c = np.asarray(c)
+    m, N = A.shape
+
+    def var(j):
+        return f"x{j}"
+
+    lines = [f"\\ {name}: {N} columns, {m} rows", "Minimize", " obj:"]
+    terms = [
+        f" {'+' if cj >= 0 else '-'} {abs(cj):.17g} {var(j)}"
+        for j, cj in enumerate(c)
+        if cj != 0.0
+    ]
+    lines[-1] += "".join(terms) if terms else " 0 x0"
+    lines.append("Subject To")
+    for i in range(m):
+        row = "".join(
+            f" {'+' if a >= 0 else '-'} {abs(a):.17g} {var(j)}"
+            for j, a in enumerate(A[i])
+            if a != 0.0
+        )
+        lines.append(f" r{i}:{row if row else ' 0 x0'} = 0")
+    lines.append("Bounds")
+    for j in range(N):
+        lo = "-inf" if lb[j] < -INF_THRESHOLD else f"{lb[j]:.17g}"
+        hi = "+inf" if ub[j] > INF_THRESHOLD else f"{ub[j]:.17g}"
+        lines.append(f" {lo} <= {var(j)} <= {hi}")
+    lines.append("End")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")

@@ -381,3 +381,23 @@ def test_dual_simplex_random_bound_changes(seed):
     np.testing.assert_allclose(float(res2.obj), ref.fun, rtol=1e-9, atol=1e-9)
     x = np.asarray(res2.x)
     assert np.all(x >= lb - 1e-9) and np.all(x <= ub + 1e-9)
+
+
+def test_write_lp_dump(tmp_path):
+    """LP write op (lpi_types.h:100-118): CPLEX-format dump round-trip."""
+    import numpy as np
+
+    from sleqp_tpu.cauchy import dump_cauchy_lp
+    from sleqp_tpu.iterate import create_iterate
+    from tests.fixtures import hs71_problem
+
+    problem, x0, _ = hs71_problem()
+    it = create_iterate(problem, x0)
+    path = tmp_path / "lp.lp"
+    dump_cauchy_lp(problem.data, it, 1.0, 10.0, str(path))
+    text = path.read_text()
+    assert text.startswith("\\ cauchy_lp")
+    assert "Minimize" in text and "Subject To" in text and "Bounds" in text
+    # n + 3m columns and m rows for HS71 (n=4, m=2)
+    assert " r1:" in text and " r2:" not in text.split("Bounds")[0][-40:]
+    assert "x9" in text  # 4 + 3*2 = 10 columns -> x0..x9
