@@ -89,4 +89,12 @@ def __getattr__(name: str):
         from .ocp import ocp_solve as _ocp_solve
 
         return _ocp_solve
+    if name == "BandedProblem":
+        from .banded import BandedProblem as _BP
+
+        return _BP
+    if name == "banded_solve":
+        from .banded import banded_solve as _banded_solve
+
+        return _banded_solve
     raise AttributeError(f"module 'sleqp_tpu' has no attribute {name!r}")

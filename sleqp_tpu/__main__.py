@@ -37,6 +37,13 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--suite", action="store_true", help="run the full HS sweep (CSV)"
     )
+    parser.add_argument(
+        "--suite-set",
+        choices=("hs", "medium", "all"),
+        default="hs",
+        help="which problem set --suite runs: the 59 HS problems "
+        "(default), the medium-scale (n ~ 100-1000) set, or both",
+    )
     parser.add_argument("--settings", help="key = value settings file")
     parser.add_argument(
         "--set",
@@ -75,9 +82,20 @@ def main(argv=None) -> int:
     if args.suite:
         from .harness import CSV_HEADER, run_suite
 
+        names = None
+        if args.suite_set != "hs":
+            from .harness.driver import ALL_PROBLEMS
+            from .harness.medium import MEDIUM_PROBLEMS
+
+            names = (
+                MEDIUM_PROBLEMS if args.suite_set == "medium" else ALL_PROBLEMS
+            )
         print(CSV_HEADER)
         result = run_suite(
-            settings=settings, max_iterations=args.max_iterations, verbose=True
+            names,
+            settings=settings,
+            max_iterations=args.max_iterations,
+            verbose=True,
         )
         print(
             f"# solved {result.solved}/{result.total} "
@@ -86,7 +104,7 @@ def main(argv=None) -> int:
         return 0 if result.solved == result.total else 1
 
     if args.hs:
-        from .harness.hs import get_problem
+        from .harness.driver import get_problem
 
         problem, x0, _ = get_problem(args.hs)
     elif args.problem:

@@ -20,7 +20,21 @@ import numpy as np
 from ..settings import Settings
 from ..solver import Solver
 from ..types import Status
-from .hs import HS_PROBLEMS, get_problem
+from .hs import HS_PROBLEMS
+from .hs import get_problem as _get_hs
+from .medium import MEDIUM_PROBLEMS
+from .medium import get_problem as _get_medium
+
+
+def get_problem(name: str):
+    """Look up a suite problem across the HS and medium registries."""
+    try:
+        return _get_hs(name)
+    except KeyError:
+        return _get_medium(name)
+
+
+ALL_PROBLEMS = list(HS_PROBLEMS) + list(MEDIUM_PROBLEMS)
 
 CSV_HEADER = (
     "name;nvars;ncons;status;obj;feas_res;slack_res;stat_res;iterations;"

@@ -48,3 +48,25 @@ def test_deriv_check_catches_wrong_gradient():
     problem = Problem(func)
     with pytest.raises(InvalidDerivativeError):
         check_derivatives(problem, jnp.array([1.0, 2.0]))
+
+
+@pytest.mark.parametrize(
+    "name", ["extrosnb100", "dqrtic100", "broydn100", "chainqp200"]
+)
+def test_medium_problem_solves(name):
+    """Medium-scale suite problems (n ~ 100-200) solve to the published
+    optimum through the same driver accounting as the HS sweep."""
+    from sleqp_tpu.harness.driver import run_problem
+
+    row, solved, obj_ok = run_problem(name, max_iterations=500)
+    assert solved, row
+    assert obj_ok, row
+
+
+def test_medium_registry_complete():
+    from sleqp_tpu.harness.driver import ALL_PROBLEMS
+    from sleqp_tpu.harness.medium import MEDIUM_PROBLEMS
+
+    assert len(MEDIUM_PROBLEMS) == 7
+    assert set(MEDIUM_PROBLEMS) <= set(ALL_PROBLEMS)
+    assert len(ALL_PROBLEMS) == 59 + 7
