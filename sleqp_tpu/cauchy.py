@@ -276,6 +276,10 @@ def resolved_lp_solver(settings, n: int, m: int) -> LPSolver:
     if settings.lp_solver == LPSolver.AUTO:
         if m > 0 and (n + 3 * m) >= settings.pdlp_threshold:
             return LPSolver.PDLP
+        from .ops import lp_enum
+
+        if lp_enum.suitable(n + 3 * m, m):
+            return LPSolver.ENUM
         return LPSolver.SIMPLEX
     return settings.lp_solver
 
@@ -342,6 +346,27 @@ def solve_cauchy_lp(
             max_iterations=0,
             dual_iters=jnp.asarray(0, jnp.int32),
             keep_saved_basis=True,
+        )
+
+    if lp_solver == LPSolver.ENUM:
+        # Parallel vertex enumeration (ops/lp_enum.py): every basis of
+        # the tiny LP evaluated in one batched tensor op — exact f64
+        # vertices, no pivot while_loop, no warm start needed.  The
+        # degenerate-basis reduced resolve is a simplex-specific repair
+        # and is skipped (enumeration already breaks ties by lowest
+        # objective, then lowest basis index).
+        from .ops import lp_enum
+
+        res = lp_enum.solve_enum(A, c, lb, ub)
+        return _extract(
+            data, it, trust_radius, penalty, res, saved_basis,
+            A, lb, ub, c, n, m,
+            settings_eps=settings_eps,
+            feasibility_mode=feasibility_mode,
+            lp_resolves=False,
+            max_iterations=0,
+            dual_iters=jnp.asarray(0, jnp.int32),
+            keep_saved_basis=False,
         )
 
     # Mixed precision: run the sequential pivoting loops in the compute

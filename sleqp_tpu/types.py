@@ -118,14 +118,17 @@ class LPSolver(enum.IntEnum):
     build-time LP backend choice, lp/lpi_types.h + cmake/SearchLPS.cmake;
     here a runtime setting because both backends are built in).
 
-    AUTO picks the revised simplex below ``pdlp_threshold`` LP columns
-    (exact vertex solutions, cheap warm-started pivots) and the
-    first-order PDLP kernel above it (pure matvecs, no sequential pivot
-    chain — the scalable choice for huge n on the MXU)."""
+    AUTO picks parallel vertex enumeration for tiny LPs (every basis
+    evaluated at once, no sequential pivot chain at all — the fast path
+    for batched small NLPs on TPU, ops/lp_enum.py), the revised simplex
+    below ``pdlp_threshold`` LP columns (exact vertex solutions, cheap
+    warm-started pivots), and the first-order PDLP kernel above it (pure
+    matvecs — the scalable choice for huge n on the MXU)."""
 
     AUTO = 0
     SIMPLEX = 1
     PDLP = 2
+    ENUM = 3
 
 
 class Polishing(enum.IntEnum):

@@ -102,11 +102,22 @@ def test_hs64_penalty_degenerate_stall_escape():
     from sleqp_tpu.harness.hs import get_problem
     from sleqp_tpu.solver import Solver
 
+    from sleqp_tpu.types import LPSolver
+
     problem, x0, f_opt = get_problem("hs64")
-    solver = Solver(problem, x0, Settings())
+    # the simplex backend's warm-started tie-breaking lands in the
+    # degenerate stall, exercising the LI-detection + restoration path
+    solver = Solver(problem, x0, Settings(lp_solver=LPSolver.SIMPLEX))
     status = solver.solve(max_iterations=500)
     assert status == Status.OPTIMAL
     assert solver.num_phase_toggles >= 1  # restoration was required
     np.testing.assert_allclose(solver.obj_val, f_opt, rtol=1e-5)
     feas, slack, stat = solver.residuals()
     assert feas <= 1e-6 and stat <= 1e-6
+
+    # the default (AUTO -> vertex enumeration) path solves it directly:
+    # enumeration's lowest-objective tie-break picks the feasibility-
+    # progress vertex at the degenerate LP, avoiding the stall
+    solver2 = Solver(problem, x0, Settings())
+    assert solver2.solve(max_iterations=500) == Status.OPTIMAL
+    np.testing.assert_allclose(solver2.obj_val, f_opt, rtol=1e-5)
