@@ -55,6 +55,41 @@ def _combo_table(N: int, m: int) -> np.ndarray:
     return np.array(list(combinations(range(N), m)), dtype=np.int32)
 
 
+def _ge_solve(A: Array, b: Array) -> Array:
+    """Batched dense solve by unrolled Gaussian elimination with partial
+    pivoting: A (..., m, m), b (..., m) with static tiny m.
+
+    Deliberately avoids ``jnp.linalg.solve``: XLA TPU implements
+    LuDecomposition only for f32, and these f64 solves must run on-chip
+    inside the fused program.  Singular systems produce inf/nan, which
+    the caller's residual check discards."""
+    m = A.shape[-1]
+    M = jnp.concatenate([A, b[..., None]], axis=-1)  # (..., m, m+1)
+    rows = jnp.arange(m)
+    for i in range(m):
+        # partial pivot: strongest remaining row for column i
+        col = jnp.abs(M[..., :, i])
+        col = jnp.where(rows >= i, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)  # (...,)
+        perm = jnp.where(
+            rows == i,
+            p[..., None],
+            jnp.where(p[..., None] == rows, i, rows),
+        )  # (..., m)
+        M = jnp.take_along_axis(M, perm[..., None], axis=-2)
+        piv = M[..., i, :]  # (..., m+1)
+        factor = M[..., :, i] / piv[..., i : i + 1]  # (..., m)
+        factor = jnp.where(rows > i, factor, 0.0)
+        M = M - factor[..., None] * piv[..., None, :]
+    # back substitution (U x = y), unrolled
+    x = jnp.zeros_like(b)
+    for i in reversed(range(m)):
+        acc = M[..., i, m] - jnp.sum(M[..., i, :m] * x, axis=-1)
+        xi = acc / M[..., i, i]
+        x = x.at[..., i].set(xi)
+    return x
+
+
 def solve_enum(
     A: Array,
     c: Array,
@@ -76,7 +111,7 @@ def solve_enum(
     cB = c[idx]  # (K, m)
 
     # duals: A_B^T y = c_B
-    y = jnp.linalg.solve(jnp.transpose(AB, (0, 2, 1)), cB[..., None])[..., 0]
+    y = _ge_solve(jnp.transpose(AB, (0, 2, 1)), cB)
     r = c[None, :] - y @ A  # (K, N)
 
     scale = 1.0 + jnp.abs(c)[None, :]
@@ -103,7 +138,7 @@ def solve_enum(
     v = jnp.where(basic_mask, 0.0, v)
 
     rhs = -(v @ A.T)  # (K, m)
-    xB = jnp.linalg.solve(AB, rhs[..., None])[..., 0]  # (K, m)
+    xB = _ge_solve(AB, rhs)  # (K, m)
 
     lbB = lb[idx]
     ubB = ub[idx]
