@@ -192,9 +192,11 @@ def solve_enum(
     ).astype(jnp.int8)
     status = status.at[idx[k_best]].set(jnp.int8(BaseStat.BASIC))
 
-    # 1-norm condition estimate of the winning basis
+    # 1-norm condition estimate of the winning basis (inverse via the
+    # same LU-free elimination — jnp.linalg.inv would not compile on TPU)
     ABb = AB[k_best]
-    ABinv = jnp.linalg.inv(ABb)
+    eye = jnp.eye(m, dtype=dtype)
+    ABinv = jax.vmap(lambda e: _ge_solve(ABb, e))(eye).T
     cond = jnp.sum(jnp.abs(ABb), axis=0).max() * jnp.sum(
         jnp.abs(ABinv), axis=0
     ).max()
