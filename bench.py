@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-BATCH = 64
+BATCH = 512
 MAX_ITERATIONS = 60
 
 

@@ -95,11 +95,15 @@ def solve_enum(
     c: Array,
     lb: Array,
     ub: Array,
-    tol: float = 1e-9,
+    tol: float | None = None,
 ) -> SimplexResult:
     """Solve the box LP by parallel basis enumeration (see module doc)."""
     m, N = A.shape
     dtype = A.dtype
+    if tol is None:
+        # dtype-aware: 1e-9 in f64; ~50 eps in f32 (a fixed 1e-9 would
+        # reject every candidate's residual check in single precision)
+        tol = max(1e-9, 50.0 * float(jnp.finfo(dtype).eps))
     idx = jnp.asarray(_combo_table(N, m))  # (K, m) static
     K = idx.shape[0]
 
