@@ -325,6 +325,16 @@ def main() -> None:
     if accel_devices:
         settings = _accel_settings()
         extras.update(_kkt_diagnostics(accel_devices[0]))
+        if cpu_devices:
+            # structured-KKT chip-vs-host ratio (BASELINE config 3:
+            # "KKT at speed-of-light per chip") — this is where the MXU
+            # actually gets fed, unlike the tiny-NLP batch headline
+            cpu_kkt = _kkt_diagnostics(cpu_devices[0])
+            if cpu_kkt and extras.get("kkt_gflops"):
+                extras["kkt_cpu_gflops"] = cpu_kkt["kkt_gflops"]
+                extras["kkt_vs_cpu"] = round(
+                    extras["kkt_gflops"] / cpu_kkt["kkt_gflops"], 1
+                )
         extras.update(_ocp_diagnostics(accel_devices[0]))
         extras.update(_banded_diagnostics(accel_devices[0]))
         ((dt, iters, solved), mode) = _run_on(accel_devices[0], settings)
