@@ -28,6 +28,7 @@ from .types import (  # noqa: E402
     CauchyObjective,
     DualEstimationType,
     HessEval,
+    InitialTRChoice,
     Linesearch,
     MathError,
     Polishing,
@@ -50,6 +51,7 @@ __all__ = [
     "DualEstimationType",
     "Func",
     "HessEval",
+    "InitialTRChoice",
     "Iterate",
     "LSQFunc",
     "Linesearch",

@@ -140,15 +140,24 @@ class SolverState:
 
 
 def initial_state(problem: Problem, settings: Settings, x0: Array) -> SolverState:
-    """Initial radii/penalty (problem_solver.c:83-118, NARROW choice)."""
+    """Initial radii/penalty (problem_solver.c:83-118)."""
+    from .types import InitialTRChoice
+
     it = create_iterate(problem, x0)
     n = problem.num_variables
     m = problem.num_cons
     dtype = problem.dtype
-    trust_radius = jnp.asarray(1.0, dtype=dtype)
-    lp_trust_radius = jnp.asarray(
-        TRUST_REGION_FACTOR / jnp.sqrt(float(max(n, 1))), dtype=dtype
-    )
+    sqrt_n = float(max(n, 1)) ** 0.5
+    if settings.initial_tr_choice == InitialTRChoice.WIDE:
+        # Knitro default (problem_solver.c:100-104)
+        trust_radius = jnp.asarray(sqrt_n, dtype=dtype)
+        lp_trust_radius = jnp.asarray(TRUST_REGION_FACTOR, dtype=dtype)
+    else:
+        # suggested in the original paper (problem_solver.c:94-99)
+        trust_radius = jnp.asarray(1.0, dtype=dtype)
+        lp_trust_radius = jnp.asarray(
+            TRUST_REGION_FACTOR / sqrt_n, dtype=dtype
+        )
     zero_i = jnp.asarray(0, jnp.int32)
     zero_f = jnp.asarray(0.0, dtype=dtype)
     return SolverState(

@@ -20,6 +20,7 @@ from .types import (
     BfgsSizing,
     DualEstimationType,
     HessEval,
+    InitialTRChoice,
     Linesearch,
     LPSolver,
     ParametricCauchy,
@@ -71,6 +72,7 @@ class Settings:
     linesearch: Linesearch = Linesearch.APPROX
     parametric_cauchy: ParametricCauchy = ParametricCauchy.DISABLED
     aug_jac_method: AugJacMethod = AugJacMethod.AUTO
+    initial_tr_choice: InitialTRChoice = InitialTRChoice.NARROW
 
     # --- int settings (settings.c:63-65) ---
     num_quasi_newton_iterates: int = 5
@@ -107,6 +109,15 @@ class Settings:
     # record violations in SolverState.num_assert_fail; host loops raise.
     num_asserts: bool = False
 
+    # Float-exception surveillance (pub_settings.h FLOAT_WARNING_FLAGS /
+    # FLOAT_ERROR_FLAGS, math_error.h:33-63).  fetestexcept does not
+    # exist inside an XLA program, so the TPU-native analogue inspects
+    # the *results*: "nonfinite" checks the iterate's obj/cons values
+    # after each host-visible step.  Reference defaults: warn on all FP
+    # exceptions (settings.c:50), error on none.
+    float_warning_flags: str = "nonfinite"
+    float_error_flags: str = "none"
+
     def __post_init__(self) -> None:
         # Validate eagerly: a typo ("fp32") silently resolving to the
         # full-precision path would defeat the point of the setting.
@@ -119,6 +130,12 @@ class Settings:
             raise ValueError(
                 f"dtype must be 'float64' or 'float32', got {self.dtype!r}"
             )
+        for name in ("float_warning_flags", "float_error_flags"):
+            if getattr(self, name) not in ("none", "nonfinite"):
+                raise ValueError(
+                    f"{name} must be 'none' or 'nonfinite', "
+                    f"got {getattr(self, name)!r}"
+                )
 
     def replace(self, **kwargs: Any) -> "Settings":
         return dataclasses.replace(self, **kwargs)
@@ -134,6 +151,7 @@ _ENUM_FIELDS = {
     "linesearch": Linesearch,
     "parametric_cauchy": ParametricCauchy,
     "aug_jac_method": AugJacMethod,
+    "initial_tr_choice": InitialTRChoice,
     "lp_solver": LPSolver,
 }
 

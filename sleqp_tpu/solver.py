@@ -52,6 +52,38 @@ Array = jax.Array
 MAX_PHASE_TOGGLES = 10
 
 
+def _check_float_flags(settings: Settings, state: SolverState) -> None:
+    """Float-exception surveillance on the current iterate.
+
+    TPU analogue of math_error.h:33-63 (fetestexcept after each func
+    evaluation): non-finite obj/cons values at the host-visible iterate
+    raise MathError under ``float_error_flags="nonfinite"`` or log a
+    warning under ``float_warning_flags="nonfinite"`` (reference default:
+    warn on all FP exceptions, settings.c:50)."""
+    if (
+        settings.float_error_flags == "none"
+        and settings.float_warning_flags == "none"
+    ):
+        return
+    vals = np.concatenate(
+        [
+            np.atleast_1d(np.asarray(state.it.obj_val)),
+            np.asarray(state.it.cons_val).ravel(),
+        ]
+    )
+    if np.all(np.isfinite(vals)):
+        return
+    msg = (
+        f"non-finite function values at iteration "
+        f"{int(state.iteration)}: obj={float(state.it.obj_val)!r}"
+    )
+    if settings.float_error_flags == "nonfinite":
+        from .types import MathError
+
+        raise MathError(msg)
+    logger.warning(msg)
+
+
 class SolverEvent(enum.IntEnum):
     """Callback events (pub_types.h:168-174)."""
 
@@ -158,6 +190,7 @@ class Solver:
                     from .types import MathError
 
                     raise MathError(int(state.num_assert_fail))
+                _check_float_flags(self.settings, state)
 
             status = Status(int(state.status))
             if (
@@ -235,6 +268,7 @@ class Solver:
                 from .types import MathError
 
                 raise MathError(int(state.num_assert_fail))
+            _check_float_flags(self.settings, state)
             if int(state.iteration) > prev_iter:
                 self._log_iteration(state)
                 for fn in self._callbacks[SolverEvent.PERFORMED_ITERATION]:

@@ -156,6 +156,16 @@ class AugJacMethod(enum.IntEnum):
     DIRECT = 3
 
 
+class InitialTRChoice(enum.IntEnum):
+    """Initial trust-region radius choice (pub_types.h:156-160).
+
+    NARROW is the choice suggested in the original SLP-EQP paper,
+    WIDE the Knitro default (problem_solver.c:92-105)."""
+
+    NARROW = 0
+    WIDE = 1
+
+
 class SolverPhase(enum.IntEnum):
     """Top-level solver phase (reference: solver/phase.c)."""
 
@@ -182,7 +192,13 @@ class MathError(ArithmeticError):
         4: "non-finite solver quantity",
     }
 
-    def __init__(self, bitmask: int):
+    def __init__(self, bitmask):
+        if isinstance(bitmask, str):
+            # float-exception surveillance path (settings
+            # float_error_flags): a message, not an invariant bitmask
+            self.bitmask = 4
+            super().__init__(bitmask)
+            return
         self.bitmask = int(bitmask)
         parts = [
             msg for bit, msg in self.BITS.items() if self.bitmask & bit

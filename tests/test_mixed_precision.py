@@ -82,9 +82,17 @@ def test_mixed_hs30_near_convergence():
     x0 = jnp.array([1.0, 1.0, 1.0])
     state = solve(problem, MIXED, x0, max_iterations=100)
     assert int(state.status) == Status.OPTIMAL
-    np.testing.assert_allclose(
-        np.asarray(state.it.x), [1.0, 0.0, 0.0], atol=5e-6
-    )
+    # At x = (1, t, 0) the nearly-active constraint x1^2+x2^2 >= 1 can
+    # legitimately stay in the working set with dual 1 (slack
+    # complementarity t^2 <= slack_tol), so the KKT tolerances only pin
+    # |x2| <= sqrt(slack_tol) ~ 1e-3 — the float64 path stops at
+    # x2 ~ 1.3e-4 for the same reason.  Mixed mode must match that
+    # guarantee, not beat it.
+    x = np.asarray(state.it.x)
+    np.testing.assert_allclose(x[[0, 2]], [1.0, 0.0], atol=5e-6)
+    assert abs(x[1]) <= 1.5e-3
+    assert float(state.stat_res) <= 1e-6
+    assert float(state.feas_res) <= 1e-6
 
 
 def test_mixed_hs49_flat_curvature():

@@ -51,3 +51,42 @@ def test_num_asserts_detect_nonfinite():
     with pytest.raises(MathError) as exc:
         solver.solve(max_iterations=10)
     assert exc.value.bitmask & 4
+
+
+def test_float_flags_error_on_nonfinite():
+    """float_error_flags="nonfinite" (FLOAT_ERROR_FLAGS analogue,
+    math_error.h:33-48): non-finite function values at a host-visible
+    iterate raise MATH_ERROR instead of silently propagating."""
+    from sleqp_tpu import Func
+
+    def obj(x):
+        # finite at x0, overflows to inf as x grows
+        return jnp.exp(x[0] * 500.0) + jnp.vdot(x, x)
+
+    func = Func(obj, num_variables=2)
+    problem = Problem(func, var_lb=-10.0, var_ub=10.0)
+    solver = Solver(
+        problem,
+        jnp.array([4.0, 1.0]),
+        Settings(float_error_flags="nonfinite"),
+    )
+    with pytest.raises(MathError):
+        solver.solve(max_iterations=10)
+
+
+def test_float_flags_warning_default(caplog):
+    """Default float_warning_flags="nonfinite" logs instead of raising
+    (FLOAT_WARN_FLAGS_DEFAULT = FE_ALL_EXCEPT, settings.c:50)."""
+    import logging
+
+    from sleqp_tpu import Func
+
+    def obj(x):
+        return jnp.exp(x[0] * 500.0) + jnp.vdot(x, x)
+
+    func = Func(obj, num_variables=2)
+    problem = Problem(func, var_lb=-10.0, var_ub=10.0)
+    solver = Solver(problem, jnp.array([4.0, 1.0]), Settings())
+    with caplog.at_level(logging.WARNING, logger="sleqp_tpu"):
+        solver.solve(max_iterations=10)
+    assert any("non-finite" in r.message for r in caplog.records)

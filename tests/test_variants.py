@@ -96,3 +96,29 @@ def test_dual_estimation_types(est):
     state = solve(problem, settings, x0, max_iterations=200)
     assert int(state.status) == Status.OPTIMAL
     np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
+
+
+def test_initial_tr_choice():
+    """WIDE initial radii (Knitro default, problem_solver.c:92-105):
+    trust_radius = sqrt(n), lp_trust_radius = 0.8; NARROW: 1 and
+    0.8/sqrt(n).  Both choices must solve the fixtures."""
+    from sleqp_tpu import InitialTRChoice
+    from sleqp_tpu.problem_solver import initial_state
+
+    problem, x0, x_opt = hs71_problem()
+    n = problem.num_variables
+
+    narrow = initial_state(problem, Settings(), x0)
+    assert float(narrow.trust_radius) == 1.0
+    np.testing.assert_allclose(
+        float(narrow.lp_trust_radius), 0.8 / np.sqrt(n)
+    )
+
+    wide_settings = Settings(initial_tr_choice=InitialTRChoice.WIDE)
+    wide = initial_state(problem, wide_settings, x0)
+    np.testing.assert_allclose(float(wide.trust_radius), np.sqrt(n))
+    assert float(wide.lp_trust_radius) == 0.8
+
+    state = solve(problem, wide_settings, x0, max_iterations=200)
+    assert int(state.status) == Status.OPTIMAL
+    np.testing.assert_allclose(np.asarray(state.it.x), x_opt, atol=2e-5)
