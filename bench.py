@@ -158,6 +158,60 @@ def _discover_devices(timeout_s: int = 180):
     return devices
 
 
+def _cpu_probe(name: str, timeout_s: int) -> dict:
+    """Run one structured-config diagnostic on the host CPU in a child
+    process (SIGALRM cannot interrupt a blocked XLA execution, so a slow
+    host baseline must be killable from outside)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # skip remote-TPU plugin
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-probe", name],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# cpu {name} baseline timed out", file=sys.stderr)
+        return {}
+    sys.stderr.write(proc.stderr)
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    print(
+        f"# cpu {name} baseline failed (rc={proc.returncode})",
+        file=sys.stderr,
+    )
+    return {}
+
+
+def _run_cpu_probe(name: str) -> None:
+    """Child-process entry for --cpu-probe."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    cpu = jax.devices("cpu")[0]
+    if name == "kkt":
+        out = _kkt_diagnostics(cpu)
+    elif name == "ocp":
+        out = _ocp_diagnostics(cpu, key="ocp_cpu", reps=1)
+    elif name == "banded":
+        out = _banded_diagnostics(cpu, key="banded_cpu")
+    else:
+        raise SystemExit(f"unknown probe {name!r}")
+    print(json.dumps(out))
+
+
 def _kkt_diagnostics(device) -> dict:
     """Structured-KKT component benchmark (BASELINE config 3):
     block-tridiagonal factor+solve at n ~ 10k on one chip.  Returns the
@@ -201,7 +255,7 @@ def _kkt_diagnostics(device) -> dict:
         return {}
 
 
-def _ocp_diagnostics(device) -> dict:
+def _ocp_diagnostics(device, key: str = "ocp", reps: int = 3) -> dict:
     """Block-structured OCP benchmark (BASELINE config 4): full
     structured SQP iterations at n ~ 100k on one chip.  Returns the
     numbers for the bench JSON (and still logs to stderr)."""
@@ -239,26 +293,25 @@ def _ocp_diagnostics(device) -> dict:
             s = step(s0)
             jax.block_until_ready(s)
             t0 = time.perf_counter()
-            reps = 3
             for _ in range(reps):
                 s = step(s)
                 jax.block_until_ready(s)
             dt = (time.perf_counter() - t0) / reps
             print(
-                f"# ocp structured SQP n={T * (nx + nu)}: "
+                f"# {key} structured SQP n={T * (nx + nu)}: "
                 f"{1e3 * dt:.1f} ms/iteration on {device}",
                 file=sys.stderr,
             )
             return {
-                "ocp_n": T * (nx + nu),
-                "ocp_ms_per_iteration": round(1e3 * dt, 1),
+                f"{key}_n": T * (nx + nu),
+                f"{key}_ms_per_iteration": round(1e3 * dt, 1),
             }
     except Exception as exc:
-        print(f"# ocp diagnostics failed: {exc}", file=sys.stderr)
+        print(f"# {key} diagnostics failed: {exc}", file=sys.stderr)
         return {}
 
 
-def _banded_diagnostics(device) -> dict:
+def _banded_diagnostics(device, key: str = "banded") -> dict:
     """General banded-NLP benchmark (BASELINE config 3, done-criterion:
     banded n >= 10^4 to 1e-6 on one chip in block-banded memory)."""
     import jax
@@ -292,20 +345,20 @@ def _banded_diagnostics(device) -> dict:
             dt = time.perf_counter() - t0
             ok = int(st.status) == Status.OPTIMAL
             print(
-                f"# banded n={N * k}: {'OPTIMAL' if ok else 'FAILED'} in "
+                f"# {key} n={N * k}: {'OPTIMAL' if ok else 'FAILED'} in "
                 f"{int(st.iteration)} iters, {dt:.2f}s, feas "
                 f"{float(st.feas_res):.1e} on {device}",
                 file=sys.stderr,
             )
             return {
-                "banded_n": N * k,
-                "banded_solved": ok,
-                "banded_iters": int(st.iteration),
-                "banded_seconds": round(dt, 2),
-                "banded_feas_res": float(st.feas_res),
+                f"{key}_n": N * k,
+                f"{key}_solved": ok,
+                f"{key}_iters": int(st.iteration),
+                f"{key}_seconds": round(dt, 2),
+                f"{key}_feas_res": float(st.feas_res),
             }
     except Exception as exc:
-        print(f"# banded diagnostics failed: {exc}", file=sys.stderr)
+        print(f"# {key} diagnostics failed: {exc}", file=sys.stderr)
         return {}
 
 
@@ -324,23 +377,47 @@ def main() -> None:
     extras = {}
     if accel_devices:
         settings = _accel_settings()
+        # ---- BASELINE configs 3/4: structured KKT / OCP / banded, chip
+        # vs host on the SAME workload.  The reference is a CPU-only
+        # library, so "baseline" = the host CPU it would run on.
+        ratios = {}
         extras.update(_kkt_diagnostics(accel_devices[0]))
-        if cpu_devices:
-            # structured-KKT chip-vs-host ratio (BASELINE config 3:
-            # "KKT at speed-of-light per chip") — this is where the MXU
-            # actually gets fed, unlike the tiny-NLP batch headline
-            cpu_kkt = _kkt_diagnostics(cpu_devices[0])
-            if cpu_kkt and extras.get("kkt_gflops"):
-                extras["kkt_cpu_gflops"] = cpu_kkt["kkt_gflops"]
-                extras["kkt_vs_cpu"] = round(
-                    extras["kkt_gflops"] / cpu_kkt["kkt_gflops"], 1
-                )
         extras.update(_ocp_diagnostics(accel_devices[0]))
         extras.update(_banded_diagnostics(accel_devices[0]))
+        if cpu_devices:
+            cpu_kkt = _cpu_probe("kkt", 300)
+            if cpu_kkt.get("kkt_gflops") and extras.get("kkt_gflops"):
+                extras["kkt_cpu_gflops"] = cpu_kkt["kkt_gflops"]
+                ratios["kkt_vs_cpu"] = round(
+                    extras["kkt_gflops"] / cpu_kkt["kkt_gflops"], 2
+                )
+            cpu_ocp = _cpu_probe("ocp", 420)
+            if cpu_ocp.get("ocp_cpu_ms_per_iteration") and extras.get(
+                "ocp_ms_per_iteration"
+            ):
+                extras["ocp_cpu_ms_per_iteration"] = cpu_ocp[
+                    "ocp_cpu_ms_per_iteration"
+                ]
+                ratios["ocp_vs_cpu"] = round(
+                    cpu_ocp["ocp_cpu_ms_per_iteration"]
+                    / extras["ocp_ms_per_iteration"],
+                    2,
+                )
+            cpu_banded = _cpu_probe("banded", 420)
+            if cpu_banded.get("banded_cpu_seconds") and extras.get(
+                "banded_seconds"
+            ):
+                extras["banded_cpu_seconds"] = cpu_banded[
+                    "banded_cpu_seconds"
+                ]
+                ratios["banded_vs_cpu"] = round(
+                    cpu_banded["banded_cpu_seconds"]
+                    / extras["banded_seconds"],
+                    2,
+                )
+        # ---- BASELINE config 2: batched tiny-NLP SQP throughput -------
         ((dt, iters, solved), mode) = _run_on(accel_devices[0], settings)
         value = iters / dt
-        # host-CPU baseline of the same workload and configuration
-        vs_baseline = 1.0
         if cpu_devices:
             try:
                 ((dt_cpu, iters_cpu, _), _m) = _run_on(
@@ -348,12 +425,27 @@ def main() -> None:
                 )
                 cpu_rate = iters_cpu / dt_cpu
                 if cpu_rate > 0:
-                    vs_baseline = value / cpu_rate
+                    ratios["batch_vs_cpu"] = round(value / cpu_rate, 3)
                 extras["cpu_rate"] = round(cpu_rate, 2)
             except Exception as exc:
                 print(f"# cpu baseline failed: {exc}", file=sys.stderr)
+        extras.update(ratios)
+        # vs_baseline = geometric mean of chip/host across the measured
+        # BASELINE configs (2: tiny batch, 3: KKT + banded, 4: OCP) —
+        # the single-number answer to "is one chip faster than the host
+        # the reference runs on", over the reference's workload
+        # spectrum, with each component ratio reported alongside.
+        if ratios:
+            logs = [np.log(max(r, 1e-12)) for r in ratios.values()]
+            vs_baseline = float(np.exp(np.mean(logs)))
+        else:
+            vs_baseline = 1.0
         unit = "SQP instance-iterations/s (1 chip)"
         extras["compute_dtype"] = settings.compute_dtype
+        extras["vs_baseline_note"] = (
+            "geomean of chip/host ratios over BASELINE configs "
+            + ",".join(sorted(ratios))
+        )
     else:
         from sleqp_tpu import Settings
 
@@ -376,4 +468,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--cpu-probe":
+        _run_cpu_probe(sys.argv[2])
+    else:
+        main()

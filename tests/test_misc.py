@@ -80,3 +80,36 @@ def test_float32_solve():
     np.testing.assert_allclose(
         np.asarray(state.it.x), [1.0, 4.743, 3.82115, 1.37941], atol=1e-3
     )
+
+
+def test_zero_func_degenerate():
+    """Identically-zero objective (reference zero_func.c): every point is
+    stationary; the solver must report OPTIMAL immediately instead of
+    wandering or dividing by zero on the empty gradient."""
+    func = Func(lambda x: jnp.asarray(0.0) * x[0], num_variables=2)
+    problem = Problem(func, var_lb=-1.0, var_ub=1.0)
+    x0 = jnp.array([0.25, -0.5])
+    state = solve(problem, Settings(), x0, max_iterations=50)
+    assert int(state.status) == Status.OPTIMAL
+    assert int(state.iteration) <= 2
+    np.testing.assert_allclose(np.asarray(state.it.x), np.asarray(x0))
+
+
+def test_log_rosenbrock():
+    """log(1 + 10^4 (y - x^2)^2 + (1 - x)^2) -> 0 at (1, 1)
+    (reference log_rosenbrock_fixture.c): exercises a non-quadratic
+    objective whose Hessian degenerates at the solution."""
+
+    def obj(x):
+        inner = 1.0 + 1e4 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+        return jnp.log(inner)
+
+    func = Func(obj, num_variables=2)
+    problem = Problem(func)
+    state = solve(
+        problem, Settings(), jnp.array([0.0, 0.0]), max_iterations=500
+    )
+    assert int(state.status) == Status.OPTIMAL
+    np.testing.assert_allclose(
+        np.asarray(state.it.x), [1.0, 1.0], atol=1e-3
+    )
