@@ -255,10 +255,16 @@ def _kkt_diagnostics(device) -> dict:
         return {}
 
 
-def _ocp_diagnostics(device, key: str = "ocp", reps: int = 3) -> dict:
+def _ocp_diagnostics(
+    device, key: str = "ocp", reps: int = 3, mixed: bool = False
+) -> dict:
     """Block-structured OCP benchmark (BASELINE config 4): full
     structured SQP iterations at n ~ 100k on one chip.  Returns the
-    numbers for the bench JSON (and still logs to stderr)."""
+    numbers for the bench JSON (and still logs to stderr).
+
+    ``mixed=True`` = the accelerator configuration
+    (compute_dtype=float32: f32 second-order assembly + delta-form KKT,
+    f64 state/residuals); the host baseline stays native float64."""
     import jax
     import jax.numpy as jnp
 
@@ -287,7 +293,9 @@ def _ocp_diagnostics(device, key: str = "ocp", reps: int = 3) -> dict:
             ocp = BlockStructuredProblem(
                 dyn, cost, T, nx, nu, x0=jnp.ones((nx,))
             )
-            settings = Settings()
+            settings = (
+                Settings(compute_dtype="float32") if mixed else Settings()
+            )
             s0 = ocp_initial_state(ocp, settings)
             step = jax.jit(lambda s: ocp_perform_iteration(ocp, settings, s))
             s = step(s0)
@@ -382,7 +390,7 @@ def main() -> None:
         # library, so "baseline" = the host CPU it would run on.
         ratios = {}
         extras.update(_kkt_diagnostics(accel_devices[0]))
-        extras.update(_ocp_diagnostics(accel_devices[0]))
+        extras.update(_ocp_diagnostics(accel_devices[0], mixed=True))
         extras.update(_banded_diagnostics(accel_devices[0]))
         if cpu_devices:
             cpu_kkt = _cpu_probe("kkt", 300)

@@ -167,13 +167,24 @@ class BlockStructuredProblem:
         c = self.residuals(X, U)
         return self.total_cost(X, U) + penalty * jnp.sum(jnp.abs(c))
 
-    def linearize(self, X: Array, U: Array, lam: Array):
+    def linearize(self, X: Array, U: Array, lam: Array, compute_dtype=None):
         """Stage-wise derivatives, vmapped over t.
 
         Returns (c (T,nx), g (T+1,nz), G (T,nx,nz), H (T+1,nz,nz)) in the
         uniform padded layout: block t < T is z_t = (x_t, u_t); block T is
         (x_T, u_dummy) with identity Hessian / zero gradient on the dummy
         control part.
+
+        ``compute_dtype=float32`` assembles the *second-order* objects —
+        the stage Jacobians G (jacfwd) and Hessians H — in hardware-native
+        float32 (the returned G/H carry that dtype); the first-order
+        quantities c and g stay in the problem dtype so feasibility and
+        stationarity checks remain exact.  TPUs emulate float64, so this
+        is the measured accelerator configuration (same escalation
+        pattern as ``Settings.compute_dtype`` for the LP/Krylov loops).
+        The float32 truncation uses a trace-time ``jax.enable_x64(False)``
+        scope, which also demotes float64 constants closed over by the
+        user's dynamics/cost callables.
         """
         nx, nu, nz, T = self.nx, self.nu, self.nz, self.T
         ts = jnp.arange(T)
@@ -192,20 +203,56 @@ class BlockStructuredProblem:
         Z = jnp.concatenate([X[:-1], U], axis=1)  # (T, nz)
         c = jax.vmap(stage_f)(Z, ts) - X[1:]
         g_stage = jax.vmap(jax.grad(stage_l))(Z, ts)
-        G = jax.vmap(jax.jacfwd(stage_f))(Z, ts)  # (T, nx, nz)
-        H_stage = jax.vmap(jax.hessian(stage_lag))(Z, lam, ts)
+        gf = jax.grad(self.final_cost)(X[-1])
+
+        mixed = (
+            compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.float32
+            and jnp.dtype(self.dtype) == jnp.float64
+        )
+        if mixed:
+            Zc = Z.astype(jnp.float32)
+            lamc = lam.astype(jnp.float32)
+            with jax.enable_x64(False):
+                G = jax.vmap(jax.jacfwd(stage_f))(Zc, ts)
+                H_stage = jax.vmap(jax.hessian(stage_lag))(Zc, lamc, ts)
+                Hf = jax.hessian(self.final_cost)(
+                    X[-1].astype(jnp.float32)
+                )
+            hdtype = jnp.float32
+        else:
+            G = jax.vmap(jax.jacfwd(stage_f))(Z, ts)  # (T, nx, nz)
+            H_stage = jax.vmap(jax.hessian(stage_lag))(Z, lam, ts)
+            Hf = jax.hessian(self.final_cost)(X[-1])
+            hdtype = self.dtype
 
         # terminal block, padded to nz with an identity control part
-        gf = jax.grad(self.final_cost)(X[-1])
-        Hf = jax.hessian(self.final_cost)(X[-1])
         g_term = jnp.concatenate([jnp.asarray(gf), jnp.zeros((nu,), self.dtype)])
-        H_term = jnp.zeros((nz, nz), self.dtype)
-        H_term = H_term.at[:nx, :nx].set(jnp.asarray(Hf))
-        H_term = H_term.at[nx:, nx:].set(jnp.eye(nu, dtype=self.dtype))
+        H_term = jnp.zeros((nz, nz), hdtype)
+        H_term = H_term.at[:nx, :nx].set(jnp.asarray(Hf, dtype=hdtype))
+        H_term = H_term.at[nx:, nx:].set(jnp.eye(nu, dtype=hdtype))
 
         g = jnp.concatenate([g_stage, g_term[None]], axis=0)
-        H = jnp.concatenate([H_stage, H_term[None]], axis=0)
+        H = jnp.concatenate([H_stage.astype(hdtype), H_term[None]], axis=0)
         return c, g, G, H
+
+    def constraint_vjp(self, X: Array, U: Array, lam: Array) -> Array:
+        """G^T lam in the padded (T, nz) layout via one reverse pass per
+        stage — exact in the problem dtype regardless of the compute
+        dtype used for the materialized G (the stationarity residual
+        must stay float64-accurate when G is assembled in float32)."""
+        nx, T = self.nx, self.T
+        ts = jnp.arange(T)
+
+        def stage_f(z, t):
+            return self.dynamics(z[:nx], z[nx:], t)
+
+        def pull(z, lam_t, t):
+            _, vjp_fn = jax.vjp(lambda zz: stage_f(zz, t), z)
+            return vjp_fn(lam_t)[0]
+
+        Z = jnp.concatenate([X[:-1], U], axis=1)
+        return jax.vmap(pull)(Z, lam, ts)  # (T, nz)
 
 
 @jax.tree_util.register_dataclass
@@ -318,10 +365,16 @@ def _structured_kkt_step(
     S = J H^-1 J^T is block-tridiagonal SPD; the solve runs on one device
     (Thomas scan) or across ``mesh`` (SPIKE, parallel/schur.py).
 
-    Returns (d (T+1, nz), lam (T, nx)).
+    Returns (d (T+1, nz), lam (T, nx)) in H's dtype: the solve runs in
+    the dtype the quadratic model was assembled in (float32 under the
+    mixed configuration; callers cast the step back to the problem
+    dtype).
     """
     T, nx, nz = problem.T, problem.nx, problem.nz
-    dtype = problem.dtype
+    dtype = H.dtype
+    c = c.astype(dtype)
+    g = g.astype(dtype)
+    reg = reg.astype(dtype)
     free = (~frozen).astype(dtype)  # (T+1, nz)
 
     # masked, regularized Hessian blocks: identity on frozen coordinates
@@ -411,16 +464,18 @@ def _stationarity(
     X: Array,
     U: Array,
     g: Array,
-    G: Array,
+    Jt_lam: Array,
     lam: Array,
 ):
     """KKT stationarity residual + reduced gradients.
 
     r = g + J^T lam on all true variables; bound-active controls/states
-    contribute only their complementarity violation (iterate.c:499)."""
+    contribute only their complementarity violation (iterate.c:499).
+    ``Jt_lam``: G^T lam per stage, (T, nz), in the problem dtype
+    (``BlockStructuredProblem.constraint_vjp``)."""
     T, nx, nz = problem.T, problem.nx, problem.nz
     r = jnp.zeros_like(g)
-    r = r.at[:T].add(jnp.einsum("tij,ti->tj", G, lam))
+    r = r.at[:T].add(Jt_lam)
     r = r.at[1:, :nx].add(-lam)
     r = r + g
     r_u = r[:T, nx:]  # (T, nu) reduced gradient on controls
@@ -432,7 +487,7 @@ def _stationarity(
     stat = jnp.maximum(
         jnp.max(stat_x, initial=0.0), jnp.max(stat_u, initial=0.0)
     )
-    return stat, r_u, r_x
+    return stat, r_u, r_x, r
 
 
 def ocp_perform_iteration(
@@ -449,9 +504,21 @@ def ocp_perform_iteration(
     dtype = problem.dtype
     X, U = state.X, state.U
 
-    c, g, G, H = problem.linearize(X, U, state.lam)
+    # mixed configuration: float32 second-order assembly + KKT solve,
+    # float64 state/merit/residuals (TPUs emulate float64; this mirrors
+    # Settings.compute_dtype for the LP/Krylov loops)
+    cd = (
+        jnp.float32
+        if settings.compute_dtype == "float32"
+        and jnp.dtype(dtype) == jnp.float64
+        else None
+    )
+    c, g, G, H = problem.linearize(X, U, state.lam, compute_dtype=cd)
     feas_res = jnp.max(jnp.abs(c), initial=0.0)
-    stat_res, r_u, r_x = _stationarity(problem, X, U, g, G, state.lam)
+    Jt_lam = problem.constraint_vjp(X, U, state.lam)
+    stat_res, r_u, r_x, r_stat = _stationarity(
+        problem, X, U, g, Jt_lam, state.lam
+    )
 
     optimal = (feas_res <= settings.feas_tol) & (stat_res <= settings.stat_tol)
     deadpoint = state.reg >= REG_MAX
@@ -471,10 +538,17 @@ def ocp_perform_iteration(
             )
         )
 
-    d, lam_qp = _structured_kkt_step(
+    # The QP is solved in *delta form* around the current multiplier:
+    # gradient = the float64 stationarity residual r = g + J^T lam
+    # (small near convergence), unknowns (d, dlam), lam_qp = lam + dlam.
+    # Mathematically identical to the absolute form, but the dual RHS
+    # c - J H^-1 r subtracts O(residual) quantities instead of O(1)
+    # ones — which is what lets the float32-assembled solve converge to
+    # float64 tolerances (no cancellation at the 1e-6 scale).
+    d, dlam = _structured_kkt_step(
         problem,
         c,
-        g,
+        r_stat,
         G,
         H,
         frozen,
@@ -483,6 +557,8 @@ def ocp_perform_iteration(
         mesh_axis=mesh_axis,
         tridiag_backend=tridiag_backend,
     )
+    d = d.astype(dtype)
+    lam_qp = state.lam + dlam.astype(dtype)
     step_ok = jnp.all(jnp.isfinite(d)) & jnp.all(jnp.isfinite(lam_qp))
     d = jnp.where(step_ok, d, 0.0)
     lam_qp = jnp.where(step_ok, lam_qp, state.lam)

@@ -259,3 +259,26 @@ def test_ocp_scenario_batch():
     )
     # different scenarios genuinely differ
     assert float(np.abs(np.asarray(out.U[1] - out.U[0])).max()) > 1e-3
+
+
+def test_ocp_mixed_precision_matches_f64():
+    """compute_dtype="float32": float32 second-order assembly + KKT solve
+    (delta-form QP around the current multiplier) must reach the same
+    float64 KKT tolerances in essentially the same iterations — the TPU
+    configuration (float64 is emulated on-chip)."""
+    ocp = _make_ocp(u_lb=-2.0, u_ub=2.0)
+    ref = ocp_solve(ocp, Settings(), max_iterations=50)
+    out = ocp_solve(
+        ocp, Settings(compute_dtype="float32"), max_iterations=50
+    )
+    assert int(ref.status) == Status.OPTIMAL
+    assert int(out.status) == Status.OPTIMAL
+    assert float(out.feas_res) <= 1e-6
+    assert float(out.stat_res) <= 1e-6
+    assert int(out.iteration) <= int(ref.iteration) + 3
+    assert float(out.obj_val) == pytest.approx(
+        float(ref.obj_val), rel=1e-6, abs=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.U), np.asarray(ref.U), atol=1e-5
+    )
