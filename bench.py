@@ -319,9 +319,12 @@ def _ocp_diagnostics(
         return {}
 
 
-def _banded_diagnostics(device, key: str = "banded") -> dict:
+def _banded_diagnostics(device, key: str = "banded", mixed: bool = False) -> dict:
     """General banded-NLP benchmark (BASELINE config 3, done-criterion:
-    banded n >= 10^4 to 1e-6 on one chip in block-banded memory)."""
+    banded n >= 10^4 to 1e-6 on one chip in block-banded memory).
+
+    ``mixed=True`` = the accelerator configuration (float32 derivative
+    assembly, float64 solve/residuals); the host baseline stays float64."""
     import jax
     import jax.numpy as jnp
 
@@ -345,10 +348,13 @@ def _banded_diagnostics(device, key: str = "banded") -> dict:
                 obj, N, k, cons_block=cons, cons_per_block=q,
                 var_lb=-2.0, var_ub=2.0, cons_lb=-0.3, cons_ub=0.3,
             )
-            st = banded_solve(p, Settings(), max_iterations=100)
+            settings = (
+                Settings(compute_dtype="float32") if mixed else Settings()
+            )
+            st = banded_solve(p, settings, max_iterations=100)
             jax.block_until_ready(st.X)
             t0 = time.perf_counter()
-            st = banded_solve(p, Settings(), max_iterations=100)
+            st = banded_solve(p, settings, max_iterations=100)
             jax.block_until_ready(st.X)
             dt = time.perf_counter() - t0
             ok = int(st.status) == Status.OPTIMAL
@@ -391,7 +397,7 @@ def main() -> None:
         ratios = {}
         extras.update(_kkt_diagnostics(accel_devices[0]))
         extras.update(_ocp_diagnostics(accel_devices[0], mixed=True))
-        extras.update(_banded_diagnostics(accel_devices[0]))
+        extras.update(_banded_diagnostics(accel_devices[0], mixed=True))
         if cpu_devices:
             cpu_kkt = _cpu_probe("kkt", 300)
             if cpu_kkt.get("kkt_gflops") and extras.get("kkt_gflops"):

@@ -123,47 +123,104 @@ class BandedProblem:
         """(N_b-1, q) constraint values."""
         return jax.vmap(self.cons_block)(X[:-1], X[1:], self.ts[:-1])
 
-    def cons_jac_blocks(self, X: Array):
-        """Jl, Jr: (N_b-1, q, k) left/right Jacobian blocks."""
-        Jl = jax.vmap(jax.jacfwd(self.cons_block, argnums=0))(
-            X[:-1], X[1:], self.ts[:-1]
-        )
-        Jr = jax.vmap(jax.jacfwd(self.cons_block, argnums=1))(
-            X[:-1], X[1:], self.ts[:-1]
-        )
-        return Jl, Jr
+    def cons_jac_blocks(self, X: Array, compute_dtype=None):
+        """Jl, Jr: (N_b-1, q, k) left/right Jacobian blocks.
 
-    def lag_hess_blocks(self, X: Array, lam: Array):
+        ``compute_dtype=float32`` runs the jacfwd passes inside a
+        trace-time ``jax.enable_x64(False)`` scope (hardware-native f32
+        on TPU, which emulates float64) and promotes the blocks back to
+        the problem dtype; the values then carry float32 accuracy — a
+        backward perturbation of the EQP, while feasibility and the
+        stationarity residual stay exact (``cons_jtvp``)."""
+
+        def _do(Xa, Xb):
+            Jl = jax.vmap(jax.jacfwd(self.cons_block, argnums=0))(
+                Xa, Xb, self.ts[:-1]
+            )
+            Jr = jax.vmap(jax.jacfwd(self.cons_block, argnums=1))(
+                Xa, Xb, self.ts[:-1]
+            )
+            return Jl, Jr
+
+        if self._mixed(compute_dtype):
+            with jax.enable_x64(False):
+                Jl, Jr = _do(
+                    X[:-1].astype(jnp.float32), X[1:].astype(jnp.float32)
+                )
+            return Jl.astype(self.dtype), Jr.astype(self.dtype)
+        return _do(X[:-1], X[1:])
+
+    def _mixed(self, compute_dtype) -> bool:
+        return (
+            compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.float32
+            and jnp.dtype(self.dtype) == jnp.float64
+        )
+
+    def cons_jtvp(self, X: Array, lam: Array) -> Array:
+        """J^T lam accumulated per variable block, (N_b, k), via one
+        reverse pass per constraint block — exact in the problem dtype
+        (the stationarity residual must stay float64-accurate when the
+        materialized Jacobian blocks are assembled in float32)."""
+        if not self.q:
+            return jnp.zeros((self.N_b, self.k), self.dtype)
+
+        def pull(a, b, lam_t, t):
+            _, vjp_fn = jax.vjp(
+                lambda aa, bb: self.cons_block(aa, bb, t), a, b
+            )
+            return vjp_fn(lam_t)  # (dL/da, dL/db)
+
+        da, db = jax.vmap(pull)(X[:-1], X[1:], lam, self.ts[:-1])
+        r = jnp.zeros((self.N_b, self.k), self.dtype)
+        r = r.at[:-1].add(da)
+        r = r.at[1:].add(db)
+        return r
+
+    def lag_hess_blocks(self, X: Array, lam: Array, compute_dtype=None):
         """Block-tridiagonal Lagrangian Hessian.
 
         Returns (Hd, Hs): Hd (N_b, k, k) diagonals, Hs (N_b-1, k, k)
-        sub-diagonals (rows t+1, cols t).
-        """
-        Hd = jax.vmap(jax.hessian(self.obj_block))(X, self.ts)
-        if not self.q:
-            return Hd, jnp.zeros((self.N_b - 1, self.k, self.k), self.dtype)
+        sub-diagonals (rows t+1, cols t).  ``compute_dtype=float32``:
+        same float32 assembly scope as ``cons_jac_blocks``."""
+        mixed = self._mixed(compute_dtype)
 
-        def pair_lag(a, b, lam_t, t):
-            return jnp.vdot(lam_t, self.cons_block(a, b, t))
+        def _do(Xc, lamc):
+            Hd = jax.vmap(jax.hessian(self.obj_block))(Xc, self.ts)
+            if not self.q:
+                return Hd, jnp.zeros(
+                    (self.N_b - 1, self.k, self.k), Hd.dtype
+                )
 
-        def pair_hess(a, b, lam_t, t):
-            z = jnp.concatenate([a, b])
+            def pair_lag(a, b, lam_t, t):
+                return jnp.vdot(lam_t, self.cons_block(a, b, t))
+
+            def pair_hess(a, b, lam_t, t):
+                z = jnp.concatenate([a, b])
+                k = self.k
+
+                def f(z):
+                    return pair_lag(z[:k], z[k:], lam_t, t)
+
+                return jax.hessian(f)(z)
+
+            M = jax.vmap(pair_hess)(Xc[:-1], Xc[1:], lamc, self.ts[:-1])
             k = self.k
+            A = M[:, :k, :k]  # d2/da2
+            B = M[:, :k, k:]  # d2/da db
+            C = M[:, k:, k:]  # d2/db2
+            Hd = Hd.at[:-1].add(A)
+            Hd = Hd.at[1:].add(C)
+            Hs = jnp.transpose(B, (0, 2, 1))  # rows x_{t+1}, cols x_t
+            return Hd, Hs
 
-            def f(z):
-                return pair_lag(z[:k], z[k:], lam_t, t)
-
-            return jax.hessian(f)(z)
-
-        M = jax.vmap(pair_hess)(X[:-1], X[1:], lam, self.ts[:-1])
-        k = self.k
-        A = M[:, :k, :k]  # d2/da2
-        B = M[:, :k, k:]  # d2/da db
-        C = M[:, k:, k:]  # d2/db2
-        Hd = Hd.at[:-1].add(A)
-        Hd = Hd.at[1:].add(C)
-        Hs = jnp.transpose(B, (0, 2, 1))  # rows x_{t+1}, cols x_t
-        return Hd, Hs
+        if mixed:
+            with jax.enable_x64(False):
+                Hd, Hs = _do(
+                    X.astype(jnp.float32), lam.astype(jnp.float32)
+                )
+            return Hd.astype(self.dtype), Hs.astype(self.dtype)
+        return _do(X, lam)
 
     def clip(self, X: Array) -> Array:
         return jnp.clip(X, self.var_lb, self.var_ub)
@@ -475,9 +532,19 @@ def banded_perform_iteration(
     X = state.X
     N_b, k, q = problem.N_b, problem.k, problem.q
 
+    # mixed configuration: float32 derivative-assembly, float64 solve +
+    # residuals (TPUs emulate float64; same pattern as the OCP path —
+    # the condensed solve itself stays float64 because the 1/DELTA
+    # augmented-Lagrangian scaling is meaningless at float32 precision)
+    cd = (
+        jnp.float32
+        if settings.compute_dtype == "float32"
+        and jnp.dtype(dtype) == jnp.float64
+        else None
+    )
     g = problem.obj_grad(X)
     C = problem.cons(X)
-    Jl, Jr = problem.cons_jac_blocks(X)
+    Jl, Jr = problem.cons_jac_blocks(X, compute_dtype=cd)
     viol = _violation(problem, C)
     feas_res = jnp.max(viol, initial=0.0)
 
@@ -510,10 +577,8 @@ def banded_perform_iteration(
     )
 
     # ---- variable-bound freeze via reduced gradient -------------------
-    r = g
-    if q:
-        r = r.at[:-1].add(jnp.einsum("tqk,tq->tk", Jl, state.lam))
-        r = r.at[1:].add(jnp.einsum("tqk,tq->tk", Jr, state.lam))
+    # J^T lam via float64 vjp: exact regardless of the assembly dtype
+    r = g + problem.cons_jtvp(X, state.lam) if q else g
     at_lb = (problem.var_lb > -INF_THRESHOLD) & (
         X <= problem.var_lb + settings.eps * (1.0 + jnp.abs(problem.var_lb))
     )
@@ -540,7 +605,9 @@ def banded_perform_iteration(
     deadpoint = state.reg >= REG_MAX
 
     # ---- EQP step on the working set ----------------------------------
-    Hd, Hs = problem.lag_hess_blocks(X, state.lam * act.astype(dtype))
+    Hd, Hs = problem.lag_hess_blocks(
+        X, state.lam * act.astype(dtype), compute_dtype=cd
+    )
     d, lam_qp = _kkt_solve(
         problem, Hd, Hs, Jl, Jr, act, target, g, frozen, state.reg
     )

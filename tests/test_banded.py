@@ -218,3 +218,37 @@ def test_banded_active_set_release():
     assert int(st.status) == Status.OPTIMAL
     expect = np.array([1.0, 1.5, 2.0, 2.5, 3.0, 3.0])
     np.testing.assert_allclose(np.asarray(st.X)[:, 0], expect, atol=1e-5)
+
+
+def test_banded_mixed_precision_matches_f64():
+    """compute_dtype="float32": float32 derivative assembly with float64
+    condensed solve + residuals must reach the same float64 KKT
+    tolerances in essentially the same iterations (the measured TPU
+    configuration; float64 is emulated on-chip)."""
+    N, k, q = 20, 8, 4
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.standard_normal((N, k)) * 0.5)
+    S = jnp.asarray(rng.standard_normal((N - 1, q, k)) * 0.3)
+
+    def obj(x, t):
+        return jnp.sum((x - W[t]) ** 2) + 0.1 * jnp.sum(jnp.cos(x))
+
+    def cons(a, b, t):
+        return S[t] @ (b - a) + 0.05 * (S[t] @ a) ** 2
+
+    p = BandedProblem(
+        obj, N, k, cons_block=cons, cons_per_block=q,
+        var_lb=-2.0, var_ub=2.0, cons_lb=-0.3, cons_ub=0.3,
+    )
+    ref = banded_solve(p, Settings(), max_iterations=100)
+    out = banded_solve(
+        p, Settings(compute_dtype="float32"), max_iterations=100
+    )
+    assert int(ref.status) == Status.OPTIMAL
+    assert int(out.status) == Status.OPTIMAL
+    assert float(out.feas_res) <= 1e-6
+    assert float(out.stat_res) <= 1e-6
+    assert int(out.iteration) <= int(ref.iteration) + 3
+    assert float(p.obj(out.X)) == pytest.approx(
+        float(p.obj(ref.X)), rel=1e-8
+    )
