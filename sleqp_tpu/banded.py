@@ -51,7 +51,7 @@ from jax import lax
 
 from .ops.block_tridiag import block_tridiag_solve
 from .settings import Settings
-from .types import INF_THRESHOLD, BaseStat, Status
+from .types import INF_THRESHOLD, BaseStat, Status, f32_compute_scope
 
 Array = jax.Array
 
@@ -143,7 +143,7 @@ class BandedProblem:
             return Jl, Jr
 
         if self._mixed(compute_dtype):
-            with jax.enable_x64(False):
+            with f32_compute_scope():
                 Jl, Jr = _do(
                     X[:-1].astype(jnp.float32), X[1:].astype(jnp.float32)
                 )
@@ -215,7 +215,7 @@ class BandedProblem:
             return Hd, Hs
 
         if mixed:
-            with jax.enable_x64(False):
+            with f32_compute_scope():
                 Hd, Hs = _do(
                     X.astype(jnp.float32), lam.astype(jnp.float32)
                 )

@@ -53,7 +53,7 @@ from jax.scipy.linalg import cho_factor, cho_solve
 from .ops.block_tridiag import block_tridiag_solve
 from .ops.pallas_tridiag import block_tridiag_solve_mp
 from .settings import Settings
-from .types import Status
+from .types import Status, f32_compute_scope
 
 Array = jax.Array
 
@@ -213,7 +213,7 @@ class BlockStructuredProblem:
         if mixed:
             Zc = Z.astype(jnp.float32)
             lamc = lam.astype(jnp.float32)
-            with jax.enable_x64(False):
+            with f32_compute_scope():
                 G = jax.vmap(jax.jacfwd(stage_f))(Zc, ts)
                 H_stage = jax.vmap(jax.hessian(stage_lag))(Zc, lamc, ts)
                 Hf = jax.hessian(self.final_cost)(
@@ -515,7 +515,14 @@ def ocp_perform_iteration(
     )
     c, g, G, H = problem.linearize(X, U, state.lam, compute_dtype=cd)
     feas_res = jnp.max(jnp.abs(c), initial=0.0)
-    Jt_lam = problem.constraint_vjp(X, U, state.lam)
+    if cd is None:
+        # G is already materialized in the problem dtype — the contraction
+        # is exact and free; the extra reverse pass is only needed when G
+        # carries float32 accuracy (the stationarity residual must stay
+        # float64-exact in the mixed configuration).
+        Jt_lam = jnp.einsum("tij,ti->tj", G, state.lam)
+    else:
+        Jt_lam = problem.constraint_vjp(X, U, state.lam)
     stat_res, r_u, r_x, r_stat = _stationarity(
         problem, X, U, g, Jt_lam, state.lam
     )

@@ -114,7 +114,11 @@ class Settings:
     # exist inside an XLA program, so the TPU-native analogue inspects
     # the *results*: "nonfinite" checks the iterate's obj/cons values
     # after each host-visible step.  Reference defaults: warn on all FP
-    # exceptions (settings.c:50), error on none.
+    # exceptions (settings.c:50) and *error* on overflow/divbyzero/
+    # invalid (settings.c:51).  Defaulting float_error_flags="none" here
+    # is a deliberate deviation: nonfinite trial values are routine in
+    # SLP globalization (the merit rejects them), and the in-graph check
+    # cannot distinguish a benign rejected trial from a real fault.
     float_warning_flags: str = "nonfinite"
     float_error_flags: str = "none"
 

@@ -7,7 +7,11 @@ they can be stored inside jit-compiled integer state without boxing.
 
 from __future__ import annotations
 
+import contextlib
 import enum
+import warnings
+
+import jax
 
 
 class Status(enum.IntEnum):
@@ -178,6 +182,25 @@ class SolverPhase(enum.IntEnum):
 # sleqp_infinity() = 1e20 semantics, src/main/cmp.c).
 INF = 1e20
 INF_THRESHOLD = 1e19
+
+
+@contextlib.contextmanager
+def f32_compute_scope():
+    """Trace-time float32 scope for mixed-precision derivative assembly.
+
+    ``jax.enable_x64(False)`` demotes float64 constants closed over by
+    user callables to float32 — intentionally, but JAX emits a
+    "requested dtype float64 ... truncated to float32" UserWarning per
+    demotion, which looks like a bug to users of the mixed
+    configuration.  This scope silences exactly that warning."""
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore",
+            message=".*truncated to dtype float32.*",
+            category=UserWarning,
+        )
+        with jax.enable_x64(False):
+            yield
 
 
 class MathError(ArithmeticError):
