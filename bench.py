@@ -70,28 +70,49 @@ def _accel_settings():
     return Settings(compute_dtype="float32")
 
 
-def _bench_fused(device, settings) -> tuple[float, int, int]:
-    """Returns (seconds, total_iterations, solved). Raises on failure."""
+def _bench_fused(device, settings, mp: bool = False) -> tuple[float, int, int]:
+    """Returns (seconds, total_iterations, solved). Raises on failure.
+
+    ``mp=True`` runs the two-phase mixed-precision batched solver
+    (float32 bulk + float64 polish, parallel/batch.py::batched_solve_mp)
+    — the TPU-native configuration; certified residuals are float64
+    either way.  The host baseline stays the reference-style native
+    float64 path."""
     import jax
 
     from sleqp_tpu import Status
-    from sleqp_tpu.parallel.batch import batched_initial_state
+    from sleqp_tpu.parallel.batch import (
+        batched_initial_state,
+        batched_solve_mp,
+    )
     from sleqp_tpu.problem_solver import solve_jit
 
     problem, x0 = _make_problem()
     with jax.default_device(device):
         x0b = _x0_batch(x0, BATCH)
-        state0 = batched_initial_state(problem, settings, x0b)
-        fn = jax.jit(
-            jax.vmap(lambda s: solve_jit(problem, settings, s, MAX_ITERATIONS))
-        )
-        out = fn(state0)  # compile + run
+        if mp:
+
+            def fn(x0b):
+                return batched_solve_mp(
+                    problem, settings, x0b, MAX_ITERATIONS
+                )
+
+            arg = x0b
+        else:
+            state0 = batched_initial_state(problem, settings, x0b)
+            fn = jax.jit(
+                jax.vmap(
+                    lambda s: solve_jit(problem, settings, s, MAX_ITERATIONS)
+                )
+            )
+            arg = state0
+        out = fn(arg)  # compile + run
         jax.block_until_ready(out)
         # timed runs
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(state0)
+            out = fn(arg)
             jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         total_iters = int(np.sum(np.asarray(out.iteration)))
@@ -124,9 +145,11 @@ def _bench_stepped(device, settings) -> tuple[float, int, int]:
     return dt, total_iters, solved
 
 
-def _run_on(device, settings):
+def _run_on(device, settings, mp: bool = False):
     try:
-        return _bench_fused(device, settings), "fused"
+        return _bench_fused(device, settings, mp=mp), (
+            "fused-mp" if mp else "fused"
+        )
     except Exception as exc:  # remote-compile hiccups etc.
         print(f"# fused path failed on {device}: {exc}", file=sys.stderr)
         return _bench_stepped(device, settings), "stepped"
@@ -433,17 +456,31 @@ def main() -> None:
                     2,
                 )
         # ---- BASELINE config 2: batched tiny-NLP SQP throughput -------
-        ((dt, iters, solved), mode) = _run_on(accel_devices[0], settings)
+        # TPU runs the two-phase mixed-precision solver; the host runs
+        # the reference-style native-float64 path (SLEQP is
+        # double-precision throughout).  The ratio compares SOLVED
+        # INSTANCES per second — both sides solve the same 512 NLPs to
+        # the same float64 KKT tolerances; iterations/s would reward the
+        # mp path for executing extra cheap f32 iterations.
+        ((dt, iters, solved), mode) = _run_on(
+            accel_devices[0], settings, mp=True
+        )
         value = iters / dt
+        extras["solves_per_s"] = round(solved / dt, 2)
         if cpu_devices:
             try:
-                ((dt_cpu, iters_cpu, _), _m) = _run_on(
-                    cpu_devices[0], settings
+                from sleqp_tpu import Settings as _S
+
+                ((dt_cpu, iters_cpu, solved_cpu), _m) = _run_on(
+                    cpu_devices[0], _S()
                 )
                 cpu_rate = iters_cpu / dt_cpu
-                if cpu_rate > 0:
-                    ratios["batch_vs_cpu"] = round(value / cpu_rate, 3)
                 extras["cpu_rate"] = round(cpu_rate, 2)
+                extras["cpu_solves_per_s"] = round(solved_cpu / dt_cpu, 2)
+                if solved_cpu > 0 and dt > 0:
+                    ratios["batch_vs_cpu"] = round(
+                        (solved / dt) / (solved_cpu / dt_cpu), 3
+                    )
             except Exception as exc:
                 print(f"# cpu baseline failed: {exc}", file=sys.stderr)
         extras.update(ratios)

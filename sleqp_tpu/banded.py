@@ -59,7 +59,11 @@ REG_MIN = 1e-10
 REG_MAX = 1e10
 REG_FAIL = 1e-4
 MAX_LINESEARCH_STEPS = 30
-DELTA = 1e-8  # augmented-Lagrangian condensation regularization
+DELTA = 1e-8  # augmented-Lagrangian condensation regularization (f64 path)
+# Mixed-precision condensation regularization: 1/delta sets the K
+# conditioning the float32 factorization must survive; the delta-form
+# constraint error O(delta * ||dlam||) vanishes as SQP converges.
+DELTA_MIXED = 1e-4
 
 
 class BandedProblem:
@@ -471,14 +475,33 @@ def _violation(problem, C):
     return lo + hi
 
 
-def _kkt_solve(problem, Hd, Hs, Jl, Jr, act, target, g_eff, frozen, reg):
-    """Condensed SPD block-tridiagonal EQP solve.
+def _kkt_solve(
+    problem, Hd, Hs, Jl, Jr, act, target, g_eff, frozen, reg, mixed=False
+):
+    """Condensed SPD block-tridiagonal EQP solve, in *delta form*.
 
     minimize 1/2 d^T (H + reg I) d + g_eff^T d
         s.t. J_W d = target (active rows), d_frozen = 0
 
-    via the exact augmented Lagrangian K = H + reg I + (1/DELTA) J_W^T
-    J_W (SPD, block-tridiagonal), lambda = (J_W d - target) / DELTA.
+    via the exact augmented Lagrangian K = H + reg I + (1/delta) J_W^T
+    J_W (SPD, block-tridiagonal).  ``g_eff`` is the *stationarity
+    residual* r = g + J^T lam_act at the current active-set multipliers
+    (not the raw gradient), so the returned ``dlam = (J_W d - target) /
+    delta`` is the multiplier INCREMENT — callers form lam_qp = lam_act
+    + dlam.  The delta form is mathematically identical to the absolute
+    form but its augmented-Lagrangian condensation error is
+    O(delta * ||dlam||) instead of O(delta * ||lam||): the error vanishes
+    as SQP converges, which is what lets the mixed configuration use a
+    float32-friendly delta (same escalation as the OCP delta-form KKT,
+    ocp.py::_structured_kkt_step).
+
+    ``mixed=True``: delta = DELTA_MIXED (1e-4, conditioning ~1/delta
+    fits float32), the block-Thomas factorization runs in hardware
+    float32 (Pallas kernel when the block size fits, f32 scan
+    otherwise), and the solution is refined against the float64 K with
+    the fully parallel block matvec (ops/pallas_tridiag.py
+    block_tridiag_solve_mp).  K itself is assembled in float64 so the
+    Hessian is not rounded away under the 1/delta-scaled J^T J term.
     """
     N_b, k = problem.N_b, problem.k
     dtype = problem.dtype
@@ -497,7 +520,8 @@ def _kkt_solve(problem, Hd, Hs, Jl, Jr, act, target, g_eff, frozen, reg):
     Hdm = Hdm + jnp.eye(k, dtype=dtype) * reg
     Hsm = Hs * (free[1:, :, None] * free[:-1, None, :])
 
-    inv_delta = 1.0 / DELTA
+    delta = DELTA_MIXED if mixed else DELTA
+    inv_delta = 1.0 / delta
     Kd = Hdm
     Kd = Kd.at[:-1].add(
         inv_delta * jnp.einsum("tqi,tqj->tij", Jlm, Jlm)
@@ -512,14 +536,25 @@ def _kkt_solve(problem, Hd, Hs, Jl, Jr, act, target, g_eff, frozen, reg):
     rhs = rhs.at[:-1].add(inv_delta * jnp.einsum("tqk,tq->tk", Jlm, tgt))
     rhs = rhs.at[1:].add(inv_delta * jnp.einsum("tqk,tq->tk", Jrm, tgt))
 
-    d = block_tridiag_solve(Kd, Ks, rhs)
+    if mixed:
+        from .ops.pallas_tridiag import block_tridiag_solve_mp
+
+        # scan32 backend: the explicit-inverse Pallas Thomas kernel is
+        # unstable under the (1/delta)-scaled off-diagonal coupling of
+        # this condensed K (error amplification ~ ||L|| / lambda_min(H)
+        # per stage); the f32 Cholesky scan refines to f64 in 3 passes.
+        d = block_tridiag_solve_mp(
+            Kd, Ks, rhs, refine_iters=3, backend="scan32"
+        )
+    else:
+        d = block_tridiag_solve(Kd, Ks, rhs)
     d = d * free
 
     Jd = jnp.einsum("tqk,tk->tq", Jlm, d[:-1]) + jnp.einsum(
         "tqk,tk->tq", Jrm, d[1:]
     )
-    lam = (Jd - tgt) * inv_delta * act.astype(dtype)
-    return d, lam
+    dlam = (Jd - tgt) * inv_delta * act.astype(dtype)
+    return d, dlam
 
 
 def banded_perform_iteration(
@@ -577,8 +612,13 @@ def banded_perform_iteration(
     )
 
     # ---- variable-bound freeze via reduced gradient -------------------
-    # J^T lam via float64 vjp: exact regardless of the assembly dtype
-    r = g + problem.cons_jtvp(X, state.lam) if q else g
+    # Multiplier base for the delta-form EQP: rows in the current
+    # working set keep their duals, dropped rows are zeroed (reference
+    # working-set semantics — an inactive constraint has zero
+    # multiplier).  J^T lam via float64 vjp: exact regardless of the
+    # assembly dtype.
+    lam_act = state.lam * act.astype(dtype)
+    r = g + problem.cons_jtvp(X, lam_act) if q else g
     at_lb = (problem.var_lb > -INF_THRESHOLD) & (
         X <= problem.var_lb + settings.eps * (1.0 + jnp.abs(problem.var_lb))
     )
@@ -605,12 +645,25 @@ def banded_perform_iteration(
     deadpoint = state.reg >= REG_MAX
 
     # ---- EQP step on the working set ----------------------------------
-    Hd, Hs = problem.lag_hess_blocks(
-        X, state.lam * act.astype(dtype), compute_dtype=cd
+    Hd, Hs = problem.lag_hess_blocks(X, lam_act, compute_dtype=cd)
+    # delta form: gradient = the f64 stationarity residual r (small near
+    # convergence), unknowns (d, dlam), lam_qp = lam_act + dlam — the
+    # cancellation-free formulation that lets the float32-factored solve
+    # converge to float64 tolerances (same pattern as the OCP path).
+    d, dlam = _kkt_solve(
+        problem,
+        Hd,
+        Hs,
+        Jl,
+        Jr,
+        act,
+        target,
+        r,
+        frozen,
+        state.reg,
+        mixed=cd is not None,
     )
-    d, lam_qp = _kkt_solve(
-        problem, Hd, Hs, Jl, Jr, act, target, g, frozen, state.reg
-    )
+    lam_qp = lam_act + dlam
     step_ok = jnp.all(jnp.isfinite(d)) & jnp.all(jnp.isfinite(lam_qp))
     d = jnp.where(step_ok, d, 0.0)
     lam_qp = jnp.where(step_ok, lam_qp, state.lam)
@@ -683,7 +736,12 @@ def banded_perform_iteration(
     reg_new = jnp.where(accepted, reg_accept, reg_reject)
 
     X_next = jnp.where(accepted, X_new, X)
-    lam_next = jnp.where(step_ok, lam_qp, state.lam)
+    # delta form: the multiplier estimate moves with the iterate — a
+    # rejected step keeps the old duals (in the absolute form lam was
+    # re-derived from scratch each iteration, so a bad multiplier
+    # self-corrected; an accumulated increment must not survive a
+    # rejection)
+    lam_next = jnp.where(accepted & step_ok, lam_qp, state.lam)
 
     running = BandedState(
         X=X_next,

@@ -377,6 +377,28 @@ def _structured_kkt_step(
     reg = reg.astype(dtype)
     free = (~frozen).astype(dtype)  # (T+1, nz)
 
+    if jnp.dtype(dtype) == jnp.float32:
+        # true-f32 matmul passes: TPU f32 matmuls default to bf16
+        # multiplies on the MXU, which degrades the Cholesky factors and
+        # Schur products this mixed-precision solve certifies against
+        # (see types.f32_compute_scope)
+        ctx = jax.default_matmul_precision("float32")
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _structured_kkt_core(
+            problem, c, g, G, H, free, reg, mesh, mesh_axis, tridiag_backend
+        )
+
+
+def _structured_kkt_core(
+    problem, c, g, G, H, free, reg, mesh, mesh_axis, tridiag_backend
+):
+    T, nx, nz = problem.T, problem.nx, problem.nz
+    dtype = H.dtype
+
     # masked, regularized Hessian blocks: identity on frozen coordinates
     Hm = H * free[:, :, None] * free[:, None, :]
     diag_fix = (1.0 - free) + free * reg

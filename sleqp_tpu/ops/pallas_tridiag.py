@@ -238,24 +238,64 @@ def block_tridiag_solve_mp(
     *,
     refine_iters: int = 2,
     interpret=None,
+    backend: str = "auto",
 ) -> Array:
-    """Mixed-precision solve: float32 Pallas factorization + iterative
-    refinement in the input dtype.  Falls back to the float64 scan path
-    when the problem does not fit the kernel's VMEM budget."""
+    """Mixed-precision solve: float32 factorization + iterative refinement
+    in the input dtype.
+
+    ``backend="auto"`` factors through the fused VMEM-resident Pallas
+    kernel when the block size fits (k <= MAX_PALLAS_BLOCK and the VMEM
+    budget holds) and through the float32 ``lax.scan`` block-Thomas path
+    otherwise.  ``backend="scan32"`` forces the scan path: the Pallas
+    kernel's explicit-inverse Thomas recursion amplifies rounding when
+    the off-diagonal blocks are much larger than the smallest diagonal
+    eigenvalues (e.g. the (1/delta)-scaled J^T J coupling of the
+    condensed banded KKT system) — the Cholesky-solve scan is backward
+    stable per step and refines where the inverse form diverges.
+    Either way, residuals are evaluated in the input dtype with the
+    fully parallel ``block_tridiag_matvec`` and corrected through the
+    stored float32 factorization (the reference's factor-once /
+    solve-many split, fact_types.h:9-33)."""
+    from .block_tridiag import block_thomas_factor, block_thomas_solve
+
     N, k, _ = D.shape
     b3, squeeze = _normalize_rhs(b)
     r = b3.shape[-1]
-    if not pallas_supported(N, k, r):
+    dtype = b3.dtype
+    if jnp.dtype(dtype) == jnp.float32:
+        # nothing to refine against — single-precision end to end
         x = block_tridiag_solve(D, L, b3)
         return x[..., 0] if squeeze else x
 
-    dtype = b3.dtype
-    x32, Minv, Lp32 = block_tridiag_factor_solve_pallas(
-        D, L, b3, interpret=interpret
-    )
+    if backend == "auto" and pallas_supported(N, k, r):
+        x32, Minv, Lp32 = block_tridiag_factor_solve_pallas(
+            D, L, b3, interpret=interpret
+        )
+
+        def resolve(rhs):
+            return block_tridiag_resolve_pallas(
+                Minv, Lp32, rhs, interpret=interpret
+            )
+
+    else:
+        # full-f32 matmul precision: TPU f32 matmuls default to bf16
+        # multiplies on the MXU (8-bit mantissa), which destroys the
+        # factorization when entries span several orders of magnitude
+        # (e.g. the (1/delta)-scaled couplings of the condensed banded
+        # KKT); true-f32 passes measure no slower here.
+        with jax.default_matmul_precision("float32"):
+            D32 = D.astype(jnp.float32)
+            L32 = L.astype(jnp.float32)
+            chols = block_thomas_factor(D32, L32)
+
+        def resolve(rhs):
+            with jax.default_matmul_precision("float32"):
+                return block_thomas_solve(chols, L32, rhs.astype(jnp.float32))
+
+        x32 = resolve(b3)
+
     x = x32.astype(dtype)
     for _ in range(refine_iters):
         resid = b3 - block_tridiag_matvec(D, L, x)
-        dx = block_tridiag_resolve_pallas(Minv, Lp32, resid, interpret=interpret)
-        x = x + dx.astype(dtype)
+        x = x + resolve(resid).astype(dtype)
     return x[..., 0] if squeeze else x

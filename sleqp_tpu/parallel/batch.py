@@ -80,6 +80,101 @@ def batched_step(
     return jax.vmap(lambda s: perform_iteration(problem, settings, s))(states)
 
 
+def batched_solve_mp(
+    problem: Problem,
+    settings: Settings,
+    x0_batch: Array,
+    max_iterations: int = 1000,
+    coarse_tol: float = 2e-3,
+    coarse_iterations: int = 30,
+) -> SolverState:
+    """Two-phase mixed-precision batched solve (BASELINE config 2 fast path).
+
+    Phase 1 solves every instance end-to-end in hardware-native float32
+    to ``coarse_tol``; phase 2 re-solves in the problem dtype
+    warm-started from the float32 result (iterate, penalty, trust radii,
+    LP basis), which takes only a few iterations near a solution.  TPUs
+    emulate float64 in software, so moving the bulk of the SQP
+    iterations into float32 is the dominant throughput lever — the same
+    escalation pattern as ``Settings.compute_dtype`` (f32 inner loops +
+    f64 certification), applied to the WHOLE iteration.  All certified
+    quantities (KKT residuals, duals, the convergence test) come from
+    the float64 phase, so the returned state meets the full float64
+    tolerances exactly as ``batched_solve`` does.
+
+    Lanes whose float32 phase fails restart phase 2 from their original
+    starting point with fresh radii (no warm start from a broken state).
+    ``iteration`` on the returned state counts BOTH phases (total SQP
+    iterations executed per instance).
+
+    ``coarse_tol`` sits well above the float32 KKT noise floor — near
+    the solution the float32 phase oscillates (merit differences at
+    rounding level make the reduction ratio garbage), so pushing it
+    below ~1e-3 burns iterations without improving the warm start;
+    ``coarse_iterations`` caps the phase for the same reason.
+
+    Reference: no equivalent — SLEQP is double-precision throughout
+    (src/main: all ``double``); this is TPU-native design space.
+    """
+    import dataclasses
+
+    from ..dyn import DynFunc
+    from ..types import f32_compute_scope
+
+    dtype = problem.dtype
+    if isinstance(problem.func, DynFunc) or jnp.dtype(dtype) == jnp.float32:
+        # dynamic functions certify against error bounds that float32
+        # cannot represent faithfully; plain f32 problems have no second
+        # phase to run
+        return batched_solve(problem, settings, x0_batch, max_iterations)
+
+    problem32 = problem.astype(jnp.float32)
+    settings32 = dataclasses.replace(
+        settings,
+        dtype="float32",
+        compute_dtype="same",
+        feas_tol=max(settings.feas_tol, coarse_tol),
+        stat_tol=max(settings.stat_tol, coarse_tol),
+        slack_tol=max(settings.slack_tol, coarse_tol),
+    )
+    with f32_compute_scope():
+        # traced inside the scope so float64 constants closed over by the
+        # user's callables demote to float32 for this phase only
+        st32 = batched_solve(
+            problem32,
+            settings32,
+            x0_batch.astype(jnp.float32),
+            min(coarse_iterations, max_iterations),
+        )
+
+    min_radius = 1e-4  # don't inherit a nearly-collapsed radius
+
+    def warm_one(ok, s32, x0):
+        x64 = problem.clip_to_bounds(s32.it.x.astype(dtype))
+        fresh = initial_state(problem, settings, jnp.where(ok, x64, x0))
+        warm = dataclasses.replace(
+            fresh,
+            penalty=s32.penalty.astype(dtype),
+            trust_radius=jnp.maximum(
+                s32.trust_radius.astype(dtype), min_radius
+            ),
+            lp_trust_radius=jnp.maximum(
+                s32.lp_trust_radius.astype(dtype), min_radius
+            ),
+            basis=s32.basis,  # int arrays — dtype-independent
+        )
+        state0 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), warm, fresh
+        )
+        out = solve_jit(problem, settings, state0, max_iterations)
+        return dataclasses.replace(
+            out, iteration=out.iteration + s32.iteration
+        )
+
+    ok32 = st32.status == Status.OPTIMAL
+    return jax.jit(jax.vmap(warm_one))(ok32, st32, x0_batch)
+
+
 def sharded_solve(
     problem: Problem,
     settings: Settings,

@@ -277,6 +277,37 @@ class Problem:
         """Clip a point into the variable box (reference: solver/solve.c:57-93)."""
         return jnp.clip(x, self.data.var_lb, self.data.var_ub)
 
+    def astype(self, dtype: Any) -> "Problem":
+        """Rebuild this problem with bounds/linear data in ``dtype``.
+
+        The user callables in ``func`` are dtype-agnostic (they follow
+        their input dtype; float64 constants closed over by them are
+        demoted at trace time under ``types.f32_compute_scope``).  Used
+        by the two-phase mixed-precision batched solver
+        (parallel/batch.py::batched_solve_mp)."""
+        d = self.data
+        return Problem(
+            self.func,
+            var_lb=d.var_lb.astype(dtype),
+            var_ub=d.var_ub.astype(dtype),
+            general_lb=d.cons_lb[: self.num_general].astype(dtype),
+            general_ub=d.cons_ub[: self.num_general].astype(dtype),
+            linear_coeffs=(
+                d.linear_coeffs.astype(dtype) if self.num_linear else None
+            ),
+            linear_lb=(
+                d.cons_lb[self.num_general :].astype(dtype)
+                if self.num_linear
+                else None
+            ),
+            linear_ub=(
+                d.cons_ub[self.num_general :].astype(dtype)
+                if self.num_linear
+                else None
+            ),
+            dtype=dtype,
+        )
+
 
 class LSQFunc(Func):
     """Least-squares function model (reference: src/main/lsq.c).

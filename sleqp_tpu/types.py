@@ -186,20 +186,28 @@ INF_THRESHOLD = 1e19
 
 @contextlib.contextmanager
 def f32_compute_scope():
-    """Trace-time float32 scope for mixed-precision derivative assembly.
+    """Trace-time float32 scope for mixed-precision compute.
 
-    ``jax.enable_x64(False)`` demotes float64 constants closed over by
-    user callables to float32 — intentionally, but JAX emits a
-    "requested dtype float64 ... truncated to float32" UserWarning per
-    demotion, which looks like a bug to users of the mixed
-    configuration.  This scope silences exactly that warning."""
+    Three things at once:
+
+    * ``jax.enable_x64(False)`` demotes float64 constants closed over by
+      user callables to float32 — intentionally, but JAX emits a
+      "requested dtype float64 ... truncated to float32" UserWarning per
+      demotion, which looks like a bug to users of the mixed
+      configuration; the scope silences exactly that warning.
+    * ``jax.default_matmul_precision("float32")``: TPU float32 matmuls
+      default to bfloat16 multiplies on the MXU (8-bit mantissa).  The
+      mixed configuration certifies against float64 residuals assuming
+      float32-accurate (~1e-7) derivatives and factors, so the scope
+      forces true-float32 passes (the extra MXU passes are noise at the
+      small per-stage matrix sizes this path runs)."""
     with warnings.catch_warnings():
         warnings.filterwarnings(
             "ignore",
             message=".*truncated to dtype float32.*",
             category=UserWarning,
         )
-        with jax.enable_x64(False):
+        with jax.enable_x64(False), jax.default_matmul_precision("float32"):
             yield
 
 

@@ -240,3 +240,31 @@ def test_mixed_vmapped_batch():
     np.testing.assert_allclose(
         np.asarray(out.it.x), np.tile(x_opt, (4, 1)), atol=1e-5
     )
+
+
+def test_batched_solve_mp_two_phase():
+    """Two-phase f32-bulk + f64-polish batched solve (batched_solve_mp):
+    every lane must reach the full float64 KKT tolerances and match the
+    pure-float64 batched solve's objective (BASELINE config 2 TPU
+    configuration; no reference equivalent — SLEQP is double-precision
+    throughout, src/main)."""
+    from sleqp_tpu.parallel.batch import batched_solve, batched_solve_mp
+
+    problem, x0, x_opt = hs71_problem()
+    rng = np.random.default_rng(3)
+    B = 8
+    x0b = jnp.clip(
+        x0[None, :] + jnp.asarray(rng.uniform(-0.05, 0.05, (B, 4))),
+        1.0,
+        5.0,
+    )
+    out = batched_solve_mp(problem, Settings(), x0b, max_iterations=60)
+    assert int(np.sum(np.asarray(out.status) == Status.OPTIMAL)) == B
+    assert float(np.max(np.asarray(out.feas_res))) <= 1e-6
+    assert float(np.max(np.asarray(out.stat_res))) <= 1e-6
+    ref = batched_solve(problem, Settings(), x0b, max_iterations=60)
+    np.testing.assert_allclose(
+        np.asarray(out.it.obj_val), np.asarray(ref.it.obj_val), rtol=1e-7
+    )
+    # iteration counts both phases: at least as many as the f64 polish
+    assert int(np.min(np.asarray(out.iteration))) >= 1
