@@ -39,10 +39,11 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--suite-set",
-        choices=("hs", "medium", "all"),
+        choices=("hs", "medium", "large", "all"),
         default="hs",
         help="which problem set --suite runs: the 59 HS problems "
-        "(default), the medium-scale (n ~ 100-1000) set, or both",
+        "(default), the medium-scale (n ~ 100-1000) set, the large "
+        "banded set (n >= 10^4, structured path), or everything",
     )
     parser.add_argument("--settings", help="key = value settings file")
     parser.add_argument(
@@ -85,11 +86,14 @@ def main(argv=None) -> int:
         names = None
         if args.suite_set != "hs":
             from .harness.driver import ALL_PROBLEMS
+            from .harness.large import LARGE_PROBLEMS
             from .harness.medium import MEDIUM_PROBLEMS
 
-            names = (
-                MEDIUM_PROBLEMS if args.suite_set == "medium" else ALL_PROBLEMS
-            )
+            names = {
+                "medium": MEDIUM_PROBLEMS,
+                "large": LARGE_PROBLEMS,
+                "all": ALL_PROBLEMS,
+            }[args.suite_set]
         print(CSV_HEADER)
         result = run_suite(
             names,

@@ -22,19 +22,23 @@ from ..solver import Solver
 from ..types import Status
 from .hs import HS_PROBLEMS
 from .hs import get_problem as _get_hs
+from .large import LARGE_PROBLEMS
+from .large import get_problem as _get_large
 from .medium import MEDIUM_PROBLEMS
 from .medium import get_problem as _get_medium
 
 
 def get_problem(name: str):
-    """Look up a suite problem across the HS and medium registries."""
-    try:
-        return _get_hs(name)
-    except KeyError:
-        return _get_medium(name)
+    """Look up a suite problem across the HS, medium and large registries."""
+    for lookup in (_get_hs, _get_medium, _get_large):
+        try:
+            return lookup(name)
+        except KeyError:
+            pass
+    raise KeyError(name)
 
 
-ALL_PROBLEMS = list(HS_PROBLEMS) + list(MEDIUM_PROBLEMS)
+ALL_PROBLEMS = list(HS_PROBLEMS) + list(MEDIUM_PROBLEMS) + list(LARGE_PROBLEMS)
 
 CSV_HEADER = (
     "name;nvars;ncons;status;obj;feas_res;slack_res;stat_res;iterations;"
@@ -65,6 +69,56 @@ class SuiteResult:
         return self.solved / max(self.total, 1)
 
 
+def _run_banded_problem(
+    name: str,
+    problem,
+    x0,
+    f_opt,
+    settings: Optional[Settings],
+    max_iterations: int,
+) -> tuple[str, bool, bool]:
+    """Large banded entries (harness/large.py) solve through the
+    structured path (banded.py) but emit the SAME CSV schema; the
+    trust-radius column carries the Levenberg regularization (the
+    structured analogue) and the Rayleigh columns are zero (no Krylov
+    loop on this path)."""
+    from ..banded import banded_solve
+
+    settings = settings or Settings()
+    start = time.perf_counter()
+    st = banded_solve(
+        problem, settings, X0=x0, max_iterations=max_iterations
+    )
+    import jax
+
+    jax.block_until_ready(st.X)
+    seconds = time.perf_counter() - start
+    status = Status(int(st.status))
+    row = ";".join(
+        [
+            name,
+            str(problem.n),
+            str(problem.m),
+            _STATUS_NAMES.get(status, "unknown"),
+            f"{float(st.obj_val):.10e}",
+            f"{float(st.feas_res):.6e}",
+            f"{0.0:.6e}",  # slackness enforced by the working set
+            f"{float(st.stat_res):.6e}",
+            str(int(st.iteration)),
+            f"{seconds:.3f}",
+            "false",
+            f"{float(st.reg):.6e}",
+            f"{0.0:.6e}",
+            f"{0.0:.6e}",
+        ]
+    )
+    solved = status == Status.OPTIMAL
+    obj_ok = True
+    if solved and f_opt is not None:
+        obj_ok = abs(float(st.obj_val) - f_opt) <= 1e-4 * (1.0 + abs(f_opt))
+    return row, solved, obj_ok
+
+
 def run_problem(
     name: str,
     settings: Optional[Settings] = None,
@@ -72,7 +126,13 @@ def run_problem(
     time_limit: Optional[float] = None,
 ) -> tuple[str, bool, bool]:
     """Solve one problem; returns (csv_row, solved, objective_matches)."""
+    from ..banded import BandedProblem
+
     problem, x0, f_opt = get_problem(name)
+    if isinstance(problem, BandedProblem):
+        return _run_banded_problem(
+            name, problem, x0, f_opt, settings, max_iterations
+        )
     solver = Solver(problem, x0, settings)
     start = time.perf_counter()
     status = solver.solve(max_iterations=max_iterations, time_limit=time_limit)

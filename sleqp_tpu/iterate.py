@@ -123,8 +123,10 @@ def feasibility_residuum(data: ProblemData, it: Iterate) -> Array:
     return max_violation(data, it.cons_val)
 
 
-def _slack_residuum(v: Array, lb: Array, ub: Array, d: Array) -> Array:
-    """Complementary-slackness residual (iterate.c:200-239 slack_residuum).
+def slack_residual_values(v: Array, lb: Array, ub: Array, d: Array) -> Array:
+    """Per-entry complementary-slackness residuals (iterate.c:200-239
+    slack_residuum; vector form serves the SLEQP_SOLVER_STATE_VEC
+    queries, pub_types.h:218-225).
 
     Entries with zero dual contribute exactly 0 (the reference iterates only
     the nonzeros of the sparse dual vector) — guarded explicitly so that
@@ -132,7 +134,11 @@ def _slack_residuum(v: Array, lb: Array, ub: Array, d: Array) -> Array:
     """
     up = jnp.maximum(ub - v, 0.0) * d
     low = jnp.maximum(v - lb, 0.0) * d
-    per_entry = jnp.where(d > 0.0, up, jnp.where(d < 0.0, low, 0.0))
+    return jnp.where(d > 0.0, up, jnp.where(d < 0.0, low, 0.0))
+
+
+def _slack_residuum(v: Array, lb: Array, ub: Array, d: Array) -> Array:
+    per_entry = slack_residual_values(v, lb, ub, d)
     return jnp.max(jnp.abs(per_entry), initial=0.0)
 
 

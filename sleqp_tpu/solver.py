@@ -501,6 +501,41 @@ class Solver:
         }
         return float(mapping[name])
 
+    def state_vec(self, name: str) -> np.ndarray:
+        """Vector state queries (pub_solver.h sleqp_solver_vec_state over
+        SLEQP_SOLVER_STATE_VEC, pub_types.h:218-225).  The reference
+        exposes the residual vectors in the scaled space; here they are
+        evaluated on the (scaled) iterate the solver works on:
+
+        * "stat_residuals":       per-variable stationarity residual
+        * "feas_residuals":       per-constraint signed violation
+        * "cons_slack_residuals": per-constraint complementary slackness
+        * "var_slack_residuals":  per-variable complementary slackness
+        """
+        from .iterate import (
+            slack_residual_values,
+            stationarity_residuals,
+            violation_values,
+        )
+
+        it = self._solution_iterate
+        data = self.problem.data
+        if name == "stat_residuals":
+            vec = stationarity_residuals(data, it)
+        elif name == "feas_residuals":
+            vec = violation_values(it.cons_val, data.cons_lb, data.cons_ub)
+        elif name == "cons_slack_residuals":
+            vec = slack_residual_values(
+                it.cons_val, data.cons_lb, data.cons_ub, it.cons_dual
+            )
+        elif name == "var_slack_residuals":
+            vec = slack_residual_values(
+                it.x, data.var_lb, data.var_ub, it.vars_dual
+            )
+        else:
+            raise KeyError(name)
+        return np.asarray(vec)
+
     def state_int(self, name: str) -> int:
         mapping = {
             "iteration": self.state.iteration,

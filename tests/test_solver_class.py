@@ -121,3 +121,35 @@ def test_hs64_penalty_degenerate_stall_escape():
     solver2 = Solver(problem, x0, Settings())
     assert solver2.solve(max_iterations=500) == Status.OPTIMAL
     np.testing.assert_allclose(solver2.obj_val, f_opt, rtol=1e-5)
+
+
+def test_state_vec_queries():
+    """Vector state queries (pub_solver.h sleqp_solver_vec_state,
+    pub_types.h:218-225): residual vectors at the solution must be
+    consistent with the scalar residua."""
+    import numpy as np
+
+    from fixtures import hs71_problem
+
+    problem, x0, _ = hs71_problem()
+    solver = Solver(problem, x0)
+    status = solver.solve(max_iterations=100)
+    assert status == Status.OPTIMAL
+    feas, slack, stat = solver.residuals()
+    stat_vec = solver.state_vec("stat_residuals")
+    assert stat_vec.shape == (problem.num_variables,)
+    np.testing.assert_allclose(np.max(np.abs(stat_vec)), stat, atol=1e-12)
+    feas_vec = solver.state_vec("feas_residuals")
+    assert feas_vec.shape == (problem.num_cons,)
+    np.testing.assert_allclose(np.max(np.abs(feas_vec)), feas, atol=1e-12)
+    cs = solver.state_vec("cons_slack_residuals")
+    vs = solver.state_vec("var_slack_residuals")
+    np.testing.assert_allclose(
+        max(np.max(np.abs(cs)), np.max(np.abs(vs))), slack, atol=1e-12
+    )
+    try:
+        solver.state_vec("nope")
+    except KeyError:
+        pass
+    else:
+        raise AssertionError("unknown state_vec name must raise KeyError")
