@@ -51,7 +51,14 @@ from jax import lax
 
 from .ops.block_tridiag import block_tridiag_solve
 from .settings import Settings
-from .types import INF_THRESHOLD, BaseStat, Status, f32_compute_scope
+from .types import (
+    INF_THRESHOLD,
+    BaseStat,
+    HessEval,
+    SolverPhase,
+    Status,
+    f32_compute_scope,
+)
 
 Array = jax.Array
 
@@ -64,6 +71,9 @@ DELTA = 1e-8  # augmented-Lagrangian condensation regularization (f64 path)
 # conditioning the float32 factorization must survive; the delta-form
 # constraint error O(delta * ||dlam||) vanishes as SQP converges.
 DELTA_MIXED = 1e-4
+# Consecutive infeasible rejections before the optimality loop hands
+# over to the restoration phase (solver/phase.c analogue).
+RESTORATION_TRIGGER = 4
 
 
 class BandedProblem:
@@ -418,6 +428,23 @@ class BandedState:
     stat_res: Array
     last_ratio: Array
     last_alpha: Array
+    # ---- globalization parity with the dense path (trial_point.c runs
+    # ONE algorithm at every scale; the structured path must not
+    # silently degrade) ----------------------------------------------
+    # top-level phase (solver/phase.c analogue): OPTIMIZATION or
+    # RESTORATION (minimize constraint violation when the SQP loop
+    # stalls infeasible)
+    phase: Array  # int32 SolverPhase
+    bad_steps: Array  # int32: consecutive infeasible rejections
+    # block-diagonal quasi-Newton Hessian (settings.hess_eval != EXACT;
+    # the banded analogue of the reference's SleqpHessStruct per-block
+    # QN, quasi_newton.c) — shape (N_b, k, k), or (0,) when exact
+    qn_B: Array
+    qn_prev_X: Array  # (N_b, k) or (0,)
+    qn_prev_g: Array  # (N_b, k) objective gradient at the previous point
+    qn_prev_Jl: Array  # (N_b-1, q, k) or (0,)
+    qn_prev_Jr: Array
+    qn_pending: Array  # bool: a pair is ready to push
 
 
 def banded_initial_state(
@@ -448,6 +475,8 @@ def banded_initial_state(
         # LP duals -> NLP multiplier sign convention
         lam = -res.duals.reshape(Nc, q).astype(dtype) * (cs != 0)
     zero = jnp.asarray(0.0, dtype)
+    use_qn = settings.hess_eval != HessEval.EXACT
+    empty = jnp.zeros((0,), dtype)
     return BandedState(
         X=X,
         lam=lam,
@@ -464,6 +493,25 @@ def banded_initial_state(
         stat_res=zero + jnp.inf,
         last_ratio=zero,
         last_alpha=zero,
+        phase=jnp.asarray(SolverPhase.OPTIMIZATION, jnp.int32),
+        bad_steps=jnp.asarray(0, jnp.int32),
+        qn_B=(
+            jnp.broadcast_to(
+                jnp.eye(problem.k, dtype=dtype),
+                (problem.N_b, problem.k, problem.k),
+            )
+            if use_qn
+            else empty
+        ),
+        qn_prev_X=jnp.zeros((problem.N_b, problem.k), dtype)
+        if use_qn
+        else empty,
+        qn_prev_g=jnp.zeros((problem.N_b, problem.k), dtype)
+        if use_qn
+        else empty,
+        qn_prev_Jl=jnp.zeros((Nc, q, problem.k), dtype) if use_qn else empty,
+        qn_prev_Jr=jnp.zeros((Nc, q, problem.k), dtype) if use_qn else empty,
+        qn_pending=jnp.asarray(False),
     )
 
 
@@ -557,7 +605,48 @@ def _kkt_solve(
     return d, dlam
 
 
-def banded_perform_iteration(
+def _block_bfgs_push(B: Array, s: Array, y: Array) -> Array:
+    """Damped-BFGS update of the block-diagonal Hessian approximation,
+    vmapped over blocks (the banded analogue of the reference's
+    per-block quasi-Newton over SleqpHessStruct; Powell damping per
+    quasi_newton.c / bfgs.c).
+
+    B: (N_b, k, k) SPD approximations; s, y: (N_b, k) pair per block.
+    Blocks with negligible step are skipped (their update is identity).
+    """
+    Bs = jnp.einsum("tij,tj->ti", B, s)
+    sBs = jnp.einsum("ti,ti->t", s, Bs)
+    sy = jnp.einsum("ti,ti->t", s, y)
+    # Powell damping: keep s^T y_eff >= 0.2 s^T B s
+    theta = jnp.where(
+        sy >= 0.2 * sBs,
+        1.0,
+        0.8 * sBs / jnp.where(sBs - sy == 0.0, 1.0, sBs - sy),
+    )
+    y_eff = theta[:, None] * y + (1.0 - theta)[:, None] * Bs
+    sy_eff = jnp.einsum("ti,ti->t", s, y_eff)
+    tiny = jnp.finfo(B.dtype).eps
+    ok = (sBs > tiny) & (sy_eff > tiny) & (jnp.einsum("ti,ti->t", s, s) > tiny)
+    upd = (
+        B
+        - Bs[:, :, None] * Bs[:, None, :] / jnp.where(ok, sBs, 1.0)[:, None, None]
+        + y_eff[:, :, None]
+        * y_eff[:, None, :]
+        / jnp.where(ok, sy_eff, 1.0)[:, None, None]
+    )
+    return jnp.where(ok[:, None, None], upd, B)
+
+
+def _prev_jtvp(problem, Jl, Jr, lam):
+    """J^T lam from MATERIALIZED blocks (the stored previous-iterate
+    Jacobian of the QN pair push), (N_b, k)."""
+    out = jnp.zeros((problem.N_b, problem.k), Jl.dtype)
+    out = out.at[:-1].add(jnp.einsum("tqk,tq->tk", Jl, lam))
+    out = out.at[1:].add(jnp.einsum("tqk,tq->tk", Jr, lam))
+    return out
+
+
+def _optimality_iteration(
     problem: BandedProblem, settings: Settings, state: BandedState
 ) -> BandedState:
     """One structured SQP iteration on the banded problem
@@ -642,10 +731,32 @@ def banded_perform_iteration(
         & (stat_res <= settings.stat_tol)
         & sign_ok
     )
-    deadpoint = state.reg >= REG_MAX
+    # a feasible stall with the regularization maxed out is a deadpoint
+    # abort; an INFEASIBLE stall hands over to the restoration phase
+    # instead (solver/phase.c analogue; see the phase transition below)
+    infeasible_now = feas_res > settings.feas_tol
+    deadpoint = (state.reg >= REG_MAX) & ~infeasible_now
 
     # ---- EQP step on the working set ----------------------------------
-    Hd, Hs = problem.lag_hess_blocks(X, lam_act, compute_dtype=cd)
+    use_qn = settings.hess_eval != HessEval.EXACT
+    if use_qn:
+        # push the pending pair at the NEW multipliers (quasi_newton.c:140
+        # convention: y = gradL(x_new, lam_new) - gradL(x_old, lam_new),
+        # the old Lagrangian gradient rebuilt from the stored blocks)
+        def push(_):
+            glag_old = state.qn_prev_g + _prev_jtvp(
+                problem, state.qn_prev_Jl, state.qn_prev_Jr, lam_act
+            )
+            return _block_bfgs_push(
+                state.qn_B, X - state.qn_prev_X, r - glag_old
+            )
+
+        qn_B = lax.cond(state.qn_pending, push, lambda _: state.qn_B, None)
+        Hd = qn_B
+        Hs = jnp.zeros((N_b - 1, k, k), dtype)
+    else:
+        qn_B = state.qn_B
+        Hd, Hs = problem.lag_hess_blocks(X, lam_act, compute_dtype=cd)
     # delta form: gradient = the f64 stationarity residual r (small near
     # convergence), unknowns (d, dlam), lam_qp = lam_act + dlam — the
     # cancellation-free formulation that lets the float32-factored solve
@@ -743,13 +854,44 @@ def banded_perform_iteration(
     # rejection)
     lam_next = jnp.where(accepted & step_ok, lam_qp, state.lam)
 
+    # ---- restoration-phase trigger (solver/phase.c analogue) ----------
+    # consecutive infeasible rejections, or a maxed-out regularization
+    # while infeasible, mean the optimality loop cannot move: hand over
+    # to the feasibility-restoration iteration with a fresh moderate
+    # regularization.
+    bad = (~accepted) & infeasible_now
+    bad_steps = jnp.where(bad, state.bad_steps + 1, 0)
+    enter_rest = infeasible_now & (
+        (bad_steps >= RESTORATION_TRIGGER) | (state.reg >= REG_MAX)
+    )
+    phase_next = jnp.where(
+        enter_rest, SolverPhase.RESTORATION, SolverPhase.OPTIMIZATION
+    ).astype(jnp.int32)
+    reg_next = jnp.where(enter_rest, jnp.asarray(1e-6, dtype), reg_new)
+    bad_steps = jnp.where(enter_rest, 0, bad_steps)
+
+    if use_qn:
+        # record the pre-step point on acceptance; the pair pushes next
+        # iteration once the new duals are available (quasi_newton.c)
+        qn_prev_X = jnp.where(accepted, X, state.qn_prev_X)
+        qn_prev_g = jnp.where(accepted, g, state.qn_prev_g)
+        qn_prev_Jl = jnp.where(accepted, Jl, state.qn_prev_Jl)
+        qn_prev_Jr = jnp.where(accepted, Jr, state.qn_prev_Jr)
+        qn_pending = accepted
+    else:
+        qn_prev_X = state.qn_prev_X
+        qn_prev_g = state.qn_prev_g
+        qn_prev_Jl = state.qn_prev_Jl
+        qn_prev_Jr = state.qn_prev_Jr
+        qn_pending = state.qn_pending
+
     running = BandedState(
         X=X_next,
         lam=lam_next,
         act_low=act_low,
         act_up=act_up,
         penalty=penalty,
-        reg=reg_new,
+        reg=reg_next,
         iteration=state.iteration + 1,
         status=jnp.asarray(Status.RUNNING, jnp.int32),
         num_accepted=state.num_accepted + accepted.astype(jnp.int32),
@@ -759,6 +901,14 @@ def banded_perform_iteration(
         stat_res=stat_res,
         last_ratio=ratio,
         last_alpha=alpha,
+        phase=phase_next,
+        bad_steps=bad_steps,
+        qn_B=qn_B,
+        qn_prev_X=qn_prev_X,
+        qn_prev_g=qn_prev_g,
+        qn_prev_Jl=qn_prev_Jl,
+        qn_prev_Jr=qn_prev_Jr,
+        qn_pending=qn_pending,
     )
 
     stop = optimal | deadpoint
@@ -770,6 +920,169 @@ def banded_perform_iteration(
     )
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(stop, a, b), stopped, running
+    )
+
+
+def _restoration_iteration(
+    problem: BandedProblem, settings: Settings, state: BandedState
+) -> BandedState:
+    """Feasibility restoration on the banded path.
+
+    The dense path switches to a dedicated restoration NLP when the
+    optimality loop stalls infeasible (solver/phase.c:97-147,
+    restoration.c); the structured analogue minimizes the constraint
+    violation directly with Levenberg-regularized Gauss-Newton steps
+    through the SAME condensed block-tridiagonal solve: with an identity
+    prox metric and the violated rows as working set, the augmented-
+    Lagrangian condensation yields the minimum-norm step onto the
+    linearized violated constraints.  Returns to OPTIMIZATION once
+    feasible (duals preserved, penalty escalated x10 like
+    solver.py:336-377); a maxed-out regularization while still
+    infeasible is a local-infeasibility certificate (Status.INFEASIBLE).
+    """
+    dtype = problem.dtype
+    X = state.X
+    N_b, k = problem.N_b, problem.k
+    cd = (
+        jnp.float32
+        if settings.compute_dtype == "float32"
+        and jnp.dtype(dtype) == jnp.float64
+        else None
+    )
+    C = problem.cons(X)
+    viol = _violation(problem, C)
+    phi0 = jnp.sum(viol)
+    feas_res = jnp.max(viol, initial=0.0)
+    Jl, Jr = problem.cons_jac_blocks(X, compute_dtype=cd)
+
+    below = (problem.cons_lb > -INF_THRESHOLD) & (C < problem.cons_lb)
+    above = (problem.cons_ub < INF_THRESHOLD) & (C > problem.cons_ub)
+    act = below | above
+    target = jnp.where(
+        below,
+        problem.cons_lb - C,
+        jnp.where(above, problem.cons_ub - C, 0.0),
+    )
+
+    frozen = jnp.zeros((N_b, k), bool)
+    Hd = jnp.broadcast_to(jnp.eye(k, dtype=dtype), (N_b, k, k))
+    Hs = jnp.zeros((N_b - 1, k, k), dtype)
+    zeros_g = jnp.zeros((N_b, k), dtype)
+    d, _ = _kkt_solve(
+        problem,
+        Hd,
+        Hs,
+        Jl,
+        Jr,
+        act,
+        target,
+        zeros_g,
+        frozen,
+        state.reg,
+        mixed=cd is not None,
+    )
+    step_ok = jnp.all(jnp.isfinite(d))
+    d = jnp.where(step_ok, d, 0.0)
+
+    # predicted violation drop of the FULL linearized step
+    Jd = jnp.einsum("tqk,tk->tq", Jl, d[:-1]) + jnp.einsum(
+        "tqk,tk->tq", Jr, d[1:]
+    )
+    viol_lin = _violation(problem, C + Jd)
+    descent = phi0 - jnp.sum(viol_lin)
+
+    def trial(alpha):
+        Xa = problem.clip(X + alpha * d)
+        return jnp.sum(_violation(problem, problem.cons(Xa))), Xa
+
+    def ls_cond(carry):
+        alpha, _, kk, done = carry
+        return (~done) & (kk < MAX_LINESEARCH_STEPS)
+
+    def ls_body(carry):
+        alpha, _, kk, _ = carry
+        phi_a, _ = trial(alpha)
+        armijo = phi_a <= phi0 - settings.linesearch_eta * alpha * descent
+        next_alpha = jnp.where(armijo, alpha, settings.linesearch_tau * alpha)
+        return next_alpha, phi_a, kk + 1, armijo
+
+    has_descent = (descent > 0.0) & step_ok
+    alpha, _, _, ls_ok = lax.while_loop(
+        ls_cond,
+        ls_body,
+        (
+            jnp.asarray(1.0, dtype),
+            phi0,
+            jnp.asarray(0, jnp.int32),
+            ~has_descent,
+        ),
+    )
+    accepted = ls_ok & has_descent
+    alpha = jnp.where(accepted, alpha, 0.0)
+    phi_new, X_new = trial(alpha)
+
+    pred = alpha * descent
+    eps10 = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(phi0))
+    tiny = (jnp.abs(pred) <= eps10) & (jnp.abs(phi0 - phi_new) <= eps10)
+    ratio = jnp.where(
+        tiny, 1.0, (phi0 - phi_new) / jnp.where(pred == 0.0, 1.0, pred)
+    )
+    reg_accept = jnp.where(
+        ratio >= 0.9,
+        jnp.maximum(state.reg / 7.0, REG_MIN),
+        jnp.where(
+            ratio >= 0.3, jnp.maximum(state.reg / 2.0, REG_MIN), state.reg
+        ),
+    )
+    reg_reject = jnp.minimum(jnp.maximum(10.0 * state.reg, REG_FAIL), REG_MAX)
+    reg_new = jnp.where(accepted, reg_accept, reg_reject)
+
+    X_next = jnp.where(accepted, X_new, X)
+    feas_new = jnp.max(_violation(problem, problem.cons(X_next)), initial=0.0)
+    restored = feas_new <= settings.feas_tol
+    # local-infeasibility certificate: GN on the violation cannot move
+    locally_infeasible = (~restored) & (state.reg >= REG_MAX)
+
+    running = dataclasses.replace(
+        state,
+        X=X_next,
+        penalty=jnp.where(restored, 10.0 * state.penalty, state.penalty),
+        reg=jnp.where(restored, jnp.asarray(1e-8, dtype), reg_new),
+        iteration=state.iteration + 1,
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        num_accepted=state.num_accepted + accepted.astype(jnp.int32),
+        num_rejected=state.num_rejected + (~accepted).astype(jnp.int32),
+        obj_val=problem.obj(X_next),
+        feas_res=feas_new,
+        last_ratio=ratio,
+        last_alpha=alpha,
+        phase=jnp.where(
+            restored, SolverPhase.OPTIMIZATION, SolverPhase.RESTORATION
+        ).astype(jnp.int32),
+        bad_steps=jnp.asarray(0, jnp.int32),
+        qn_pending=jnp.asarray(False),  # the pair straddles a phase jump
+    )
+    stopped = dataclasses.replace(
+        state,
+        status=jnp.asarray(Status.INFEASIBLE, jnp.int32),
+        feas_res=feas_res,
+    )
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(locally_infeasible, a, b), stopped, running
+    )
+
+
+def banded_perform_iteration(
+    problem: BandedProblem, settings: Settings, state: BandedState
+) -> BandedState:
+    """One banded iteration: dispatch on the top-level phase
+    (solver/phase.c) — the optimality SQP loop or the feasibility
+    restoration loop."""
+    return lax.cond(
+        state.phase == SolverPhase.RESTORATION,
+        lambda s: _restoration_iteration(problem, settings, s),
+        lambda s: _optimality_iteration(problem, settings, s),
+        state,
     )
 
 

@@ -252,3 +252,77 @@ def test_banded_mixed_precision_matches_f64():
     assert float(p.obj(out.X)) == pytest.approx(
         float(p.obj(ref.X)), rel=1e-8
     )
+
+
+def test_banded_quasi_newton():
+    """Block-diagonal damped-BFGS Hessians (settings.hess_eval) on the
+    banded path — the structured analogue of the reference's per-block
+    QN over SleqpHessStruct (quasi_newton.c).  Must reach the same
+    optimum as the exact-Hessian path."""
+    from sleqp_tpu.types import HessEval
+
+    p = _chain_problem()
+    exact = banded_solve(p, Settings(), max_iterations=100)
+    qn = banded_solve(
+        p,
+        Settings(hess_eval=HessEval.DAMPED_BFGS),
+        max_iterations=300,
+    )
+    assert int(qn.status) == Status.OPTIMAL
+    assert float(qn.feas_res) <= 1e-6
+    assert float(qn.stat_res) <= 1e-6
+    np.testing.assert_allclose(
+        float(qn.obj_val), float(exact.obj_val), rtol=1e-6
+    )
+
+
+def test_banded_restoration_restores_feasibility():
+    """The restoration phase must drive an infeasible iterate feasible
+    and hand back to the optimality loop (solver/phase.c analogue)."""
+    import dataclasses as dc
+
+    from sleqp_tpu.banded import banded_initial_state, banded_solve_jit
+    from sleqp_tpu.types import SolverPhase
+
+    p = _chain_problem()
+    # start far outside the coupling bounds, forced into restoration
+    X0 = jnp.tile(jnp.array([[0.0], [3.0]]), (3, 2)).reshape(6, 2)
+    s0 = banded_initial_state(p, Settings(), X0)
+    s0 = dc.replace(
+        s0, phase=jnp.asarray(int(SolverPhase.RESTORATION), jnp.int32)
+    )
+    st = banded_solve_jit(p, Settings(), s0, 200)
+    assert int(st.status) == Status.OPTIMAL
+    assert float(st.feas_res) <= 1e-6
+    assert float(st.stat_res) <= 1e-6
+
+
+def test_banded_locally_infeasible_certificate():
+    """An infeasible banded instance must terminate with a defined
+    status (INFEASIBLE local certificate or deadpoint), never OPTIMAL
+    and never an iteration-limit hang (VERDICT r3 item 6: structured
+    paths need defined failure modes)."""
+
+    def obj(x, t):
+        return jnp.sum(x**2)
+
+    def cons(a, b, t):
+        return b - a  # b - a == 0.5 forced by the equality below
+
+    p = BandedProblem(
+        obj,
+        4,
+        1,
+        cons_block=cons,
+        cons_per_block=1,
+        var_lb=0.0,
+        var_ub=1.0,
+        cons_lb=0.5,
+        cons_ub=0.5,  # x_3 = x_0 + 1.5 > 1: infeasible with the box
+    )
+    st = banded_solve(p, Settings(), max_iterations=300)
+    assert int(st.status) in (
+        Status.INFEASIBLE,
+        Status.ABORT_DEADPOINT,
+    ), int(st.status)
+    assert float(st.feas_res) > 1e-6  # honestly reported as infeasible
