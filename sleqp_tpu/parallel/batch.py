@@ -175,6 +175,53 @@ def batched_solve_mp(
     return jax.jit(jax.vmap(warm_one))(ok32, st32, x0_batch)
 
 
+def batched_solve_chunked(
+    problem: Problem,
+    settings: Settings,
+    x0_batch: Array,
+    max_iterations: int = 1000,
+    chunk_size: int = 1024,
+    mp: bool = False,
+) -> SolverState:
+    """Solve an arbitrarily large instance batch in chunks of at most
+    ``chunk_size``.
+
+    The remote TPU worker crashes ("kernel fault") on single fused
+    programs beyond ~1024 fused instances (CLAUDE.md known state); this
+    driver keeps each XLA program at ``chunk_size`` lanes and runs
+    chunks sequentially — one compile, reused across chunks (the last
+    chunk is padded to the same shape so nothing retraces).  Throughput
+    equals the chunk-level throughput; padding lanes are dropped from
+    the returned state.
+
+    ``mp=True`` routes each chunk through the two-phase
+    mixed-precision solver (batched_solve_mp).
+    """
+    B = x0_batch.shape[0]
+    if B <= chunk_size:
+        solve = batched_solve_mp if mp else batched_solve
+        return solve(problem, settings, x0_batch, max_iterations)
+    pad = (-B) % chunk_size
+    if pad:
+        x0_batch = jnp.concatenate(
+            [x0_batch, jnp.tile(x0_batch[-1:], (pad, 1))], axis=0
+        )
+    solve = batched_solve_mp if mp else batched_solve
+    outs = [
+        solve(
+            problem,
+            settings,
+            x0_batch[i : i + chunk_size],
+            max_iterations,
+        )
+        for i in range(0, B + pad, chunk_size)
+    ]
+    full = jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *outs
+    )
+    return jax.tree_util.tree_map(lambda a: a[:B], full)
+
+
 def sharded_solve(
     problem: Problem,
     settings: Settings,

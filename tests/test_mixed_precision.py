@@ -268,3 +268,24 @@ def test_batched_solve_mp_two_phase():
     )
     # iteration counts both phases: at least as many as the f64 polish
     assert int(np.min(np.asarray(out.iteration))) >= 1
+
+
+def test_batched_solve_chunked():
+    """Chunked driver keeps every XLA program at <= chunk_size lanes
+    (workaround for the >1024-instance fused-program worker fault) and
+    reassembles the full batch, padding lanes dropped."""
+    from sleqp_tpu.parallel.batch import batched_solve_chunked
+
+    problem, x0, _ = hs71_problem()
+    rng = np.random.default_rng(5)
+    B = 11  # 2 chunks of 4 + padded chunk
+    x0b = jnp.clip(
+        x0[None, :] + jnp.asarray(rng.uniform(-0.05, 0.05, (B, 4))),
+        1.0,
+        5.0,
+    )
+    out = batched_solve_chunked(
+        problem, Settings(), x0b, max_iterations=60, chunk_size=4
+    )
+    assert out.it.x.shape == (B, 4)
+    assert int(np.sum(np.asarray(out.status) == Status.OPTIMAL)) == B
