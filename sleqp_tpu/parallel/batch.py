@@ -10,7 +10,7 @@ consensus reductions (BASELINE configs 2 and 5).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +80,52 @@ def batched_step(
     return jax.vmap(lambda s: perform_iteration(problem, settings, s))(states)
 
 
+@lru_cache(maxsize=64)
+def _f32_problem(problem: Problem) -> Problem:
+    """Cached float32 clone: Problem hashes by identity, so rebuilding
+    the clone per call would miss solve_jit's static-argument cache and
+    recompile the phase-1 program on every solve."""
+    return problem.astype(jnp.float32)
+
+
+@lru_cache(maxsize=64)
+def _mp_phase2_fn(problem: Problem, settings: Settings, polish_iterations: int):
+    """Cached jitted phase-2 (f64 polish) program.
+
+    Built once per (problem, settings, budget): rebuilding
+    ``jax.jit(jax.vmap(...))`` per call would create a fresh jit cache
+    entry and recompile the polish program on EVERY solve (measured 180s
+    per call on the remote TPU)."""
+    import dataclasses
+
+    dtype = problem.dtype
+    min_radius = 1e-4  # don't inherit a nearly-collapsed radius
+
+    def warm_one(ok, s32, x0):
+        x64 = problem.clip_to_bounds(s32.it.x.astype(dtype))
+        fresh = initial_state(problem, settings, jnp.where(ok, x64, x0))
+        warm = dataclasses.replace(
+            fresh,
+            penalty=s32.penalty.astype(dtype),
+            trust_radius=jnp.maximum(
+                s32.trust_radius.astype(dtype), min_radius
+            ),
+            lp_trust_radius=jnp.maximum(
+                s32.lp_trust_radius.astype(dtype), min_radius
+            ),
+            basis=s32.basis,  # int arrays — dtype-independent
+        )
+        state0 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), warm, fresh
+        )
+        out = solve_jit(problem, settings, state0, polish_iterations)
+        return dataclasses.replace(
+            out, iteration=out.iteration + s32.iteration
+        )
+
+    return jax.jit(jax.vmap(warm_one))
+
+
 def batched_solve_mp(
     problem: Problem,
     settings: Settings,
@@ -87,6 +133,7 @@ def batched_solve_mp(
     max_iterations: int = 1000,
     coarse_tol: float = 2e-3,
     coarse_iterations: int = 30,
+    polish_iterations: int = 15,
 ) -> SolverState:
     """Two-phase mixed-precision batched solve (BASELINE config 2 fast path).
 
@@ -112,6 +159,11 @@ def batched_solve_mp(
     rounding level make the reduction ratio garbage), so pushing it
     below ~1e-3 burns iterations without improving the warm start;
     ``coarse_iterations`` caps the phase for the same reason.
+    ``polish_iterations`` caps phase 2: a warm-started lane needs only a
+    handful of f64 iterations, and the vmapped while_loop runs until the
+    SLOWEST lane finishes — one cold lane must not make the whole batch
+    pay the full f64 budget (the rare lane that genuinely needs more
+    reports non-optimal and can be re-solved individually).
 
     Reference: no equivalent — SLEQP is double-precision throughout
     (src/main: all ``double``); this is TPU-native design space.
@@ -128,7 +180,7 @@ def batched_solve_mp(
         # phase to run
         return batched_solve(problem, settings, x0_batch, max_iterations)
 
-    problem32 = problem.astype(jnp.float32)
+    problem32 = _f32_problem(problem)
     settings32 = dataclasses.replace(
         settings,
         dtype="float32",
@@ -147,32 +199,11 @@ def batched_solve_mp(
             min(coarse_iterations, max_iterations),
         )
 
-    min_radius = 1e-4  # don't inherit a nearly-collapsed radius
-
-    def warm_one(ok, s32, x0):
-        x64 = problem.clip_to_bounds(s32.it.x.astype(dtype))
-        fresh = initial_state(problem, settings, jnp.where(ok, x64, x0))
-        warm = dataclasses.replace(
-            fresh,
-            penalty=s32.penalty.astype(dtype),
-            trust_radius=jnp.maximum(
-                s32.trust_radius.astype(dtype), min_radius
-            ),
-            lp_trust_radius=jnp.maximum(
-                s32.lp_trust_radius.astype(dtype), min_radius
-            ),
-            basis=s32.basis,  # int arrays — dtype-independent
-        )
-        state0 = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, a, b), warm, fresh
-        )
-        out = solve_jit(problem, settings, state0, max_iterations)
-        return dataclasses.replace(
-            out, iteration=out.iteration + s32.iteration
-        )
-
     ok32 = st32.status == Status.OPTIMAL
-    return jax.jit(jax.vmap(warm_one))(ok32, st32, x0_batch)
+    phase2 = _mp_phase2_fn(
+        problem, settings, min(polish_iterations, max_iterations)
+    )
+    return phase2(ok32, st32, x0_batch)
 
 
 def batched_solve_chunked(
