@@ -238,14 +238,28 @@ def _run_cpu_probe(name: str) -> None:
     print(json.dumps(out))
 
 
-def _kkt_diagnostics(device) -> dict:
+def _kkt_diagnostics(device, mixed: bool = False) -> dict:
     """Structured-KKT component benchmark (BASELINE config 3):
-    block-tridiagonal factor+solve at n ~ 10k on one chip.  Returns the
-    numbers for the bench JSON (and still logs to stderr)."""
+    block-tridiagonal factor+solve at n ~ 10k, measured in the
+    PRODUCTION configuration of each platform — the mixed-precision
+    f32-SPIKE + f64-refinement solve on the accelerator
+    (``mixed=True``, what banded.py actually runs on TPU) and the
+    native float64 block-Thomas scan on the host.  Reports wall
+    ms/solve plus effective GFLOP/s over the NOMINAL (14/3)Nk^3
+    factor+solve flops — the mp path does ~3x more arithmetic than
+    nominal, which is the honest way to compare algorithms that reach
+    the same f64 result by different routes.
+
+    (The r3 number for the f64 scan on the accelerator — 0.124 ms —
+    did not reproduce; fresh measurement gives ~790 ms, i.e. the
+    emulated-f64 sequential scan is ~25x SLOWER than the host.  The
+    mp configuration is the production path precisely because of
+    that.)"""
     import jax
     import jax.numpy as jnp
 
     from sleqp_tpu.ops.block_tridiag import block_tridiag_solve
+    from sleqp_tpu.ops.pallas_tridiag import block_tridiag_solve_mp
 
     try:
         with jax.default_device(device):
@@ -257,24 +271,34 @@ def _kkt_diagnostics(device) -> dict:
             )
             L = jnp.asarray(rng.standard_normal((N - 1, k, k)) * 0.1)
             b = jnp.asarray(rng.standard_normal((N, k)))
-            fn = jax.jit(block_tridiag_solve)
+            if mixed:
+                fn = jax.jit(
+                    lambda D, L, b: block_tridiag_solve_mp(
+                        D, L, b, refine_iters=3, backend="spike32"
+                    )
+                )
+            else:
+                fn = jax.jit(block_tridiag_solve)
             jax.block_until_ready(fn(D, L, b))
             t0 = time.perf_counter()
             reps = 5
             for _ in range(reps):
                 jax.block_until_ready(fn(D, L, b))
             dt = (time.perf_counter() - t0) / reps
-            # ~ (14/3) k^3 per block factor+solve
+            # nominal ~ (14/3) k^3 per block factor+solve
             gflops = (14.0 / 3.0) * N * k**3 / dt / 1e9
+            mode = "mp-spike32" if mixed else "f64-scan"
             print(
-                f"# kkt block-tridiag n={N * k}: {1e3 * dt:.2f} ms/solve, "
-                f"{gflops:.1f} GFLOP/s on {device}",
+                f"# kkt block-tridiag [{mode}] n={N * k}: "
+                f"{1e3 * dt:.2f} ms/solve, {gflops:.1f} GFLOP/s "
+                f"(nominal flops) on {device}",
                 file=sys.stderr,
             )
             return {
                 "kkt_n": N * k,
                 "kkt_ms_per_solve": round(1e3 * dt, 3),
                 "kkt_gflops": round(gflops, 1),
+                "kkt_mode": mode,
             }
     except Exception as exc:
         print(f"# kkt diagnostics failed: {exc}", file=sys.stderr)
@@ -421,7 +445,7 @@ def main() -> None:
         # vs host on the SAME workload.  The reference is a CPU-only
         # library, so "baseline" = the host CPU it would run on.
         ratios = {}
-        extras.update(_kkt_diagnostics(accel_devices[0]))
+        extras.update(_kkt_diagnostics(accel_devices[0], mixed=True))
         extras.update(_ocp_diagnostics(accel_devices[0], mixed=True))
         extras.update(_banded_diagnostics(accel_devices[0], mixed=True))
         if cpu_devices:

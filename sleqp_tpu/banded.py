@@ -587,12 +587,15 @@ def _kkt_solve(
     if mixed:
         from .ops.pallas_tridiag import block_tridiag_solve_mp
 
-        # scan32 backend: the explicit-inverse Pallas Thomas kernel is
-        # unstable under the (1/delta)-scaled off-diagonal coupling of
-        # this condensed K (error amplification ~ ||L|| / lambda_min(H)
-        # per stage); the f32 Cholesky scan refines to f64 in 3 passes.
+        # spike32 backend: f32 SPIKE (parallel interior Cholesky chunks +
+        # ~sqrt(N) sequential separator recursion) with f64 refinement.
+        # The explicit-inverse Pallas Thomas kernel is NOT used here: it
+        # amplifies rounding under the (1/delta)-scaled off-diagonal
+        # coupling of this condensed K (error ~ ||L|| / lambda_min(H)
+        # per stage); the Cholesky-solve recursions are backward stable
+        # and refine to f64 in 3 passes.
         d = block_tridiag_solve_mp(
-            Kd, Ks, rhs, refine_iters=3, backend="scan32"
+            Kd, Ks, rhs, refine_iters=3, backend="spike32"
         )
     else:
         d = block_tridiag_solve(Kd, Ks, rhs)

@@ -222,6 +222,119 @@ def schur_block_tridiag_solve(D: Array, L: Array, b: Array, num_chunks: int):
 
 
 # ---------------------------------------------------------------------------
+# SPIKE factor / resolve split (factor once, solve many right-hand sides)
+# ---------------------------------------------------------------------------
+
+
+def schur_factor(D: Array, L: Array, num_chunks: int):
+    """Factor the SPIKE decomposition once for repeated solves.
+
+    Same decomposition as ``schur_block_tridiag_solve`` but split into a
+    factor object + ``schur_resolve`` (the reference's factor-once /
+    solve-many split, fact_types.h:9-33) so mixed-precision iterative
+    refinement can reuse the (parallel, vmapped) interior factorizations
+    and the small separator factorization instead of re-factoring per
+    residual correction.  Requires N = num_chunks * c - 1.
+    """
+    N, k, _ = D.shape
+    P = num_chunks
+    if (N + 1) % P != 0:
+        raise ValueError(f"N+1={N + 1} must be divisible by num_chunks={P}")
+    c = (N + 1) // P
+    if c < 2:
+        raise ValueError("chunks must contain at least one interior block")
+
+    D_ch, L_ch, _, sep_idx, chunk_start = _chunk_views(
+        D, L, jnp.zeros((N, k), D.dtype), P, c
+    )
+    E = L[sep_idx - 1]
+    F = L[sep_idx]
+
+    chols_ch = jax.vmap(block_thomas_factor)(D_ch, L_ch)
+    nin = c - 1
+
+    def coupling_rhs_left(Fj):
+        rhs = jnp.zeros((nin, k, k), dtype=D.dtype)
+        return rhs.at[0].set(Fj)
+
+    def coupling_rhs_right(Ej):
+        rhs = jnp.zeros((nin, k, k), dtype=D.dtype)
+        return rhs.at[-1].set(Ej.T)
+
+    F_pad = jnp.concatenate([jnp.zeros((1, k, k), D.dtype), F], axis=0)
+    E_pad = jnp.concatenate([E, jnp.zeros((1, k, k), D.dtype)], axis=0)
+    VL = jax.vmap(
+        lambda ch, Lc, Fj: block_thomas_solve(ch, Lc, coupling_rhs_left(Fj))
+    )(chols_ch, L_ch, F_pad)
+    VR = jax.vmap(
+        lambda ch, Lc, Ej: block_thomas_solve(ch, Lc, coupling_rhs_right(Ej))
+    )(chols_ch, L_ch, E_pad)
+
+    S_diag = (
+        D[sep_idx]
+        - jnp.einsum("jab,jbc->jac", E, VR[:-1, -1])
+        - jnp.einsum("jba,jbc->jac", F, VL[1:, 0])
+    )
+    S_sub = -jnp.einsum("jab,jbc->jac", E[1:], VL[1:-1, -1])
+    sep_chols = block_thomas_factor(S_diag, S_sub)
+
+    return dict(
+        chols_ch=chols_ch,
+        L_ch=L_ch,
+        VL=VL,
+        VR=VR,
+        E=E,
+        F=F,
+        sep_chols=sep_chols,
+        S_sub=S_sub,
+        sep_idx=sep_idx,
+        chunk_start=chunk_start,
+        shape=(N, k, P, c),
+    )
+
+
+def schur_resolve(fact, b: Array) -> Array:
+    """Solve A x = b with a stored ``schur_factor`` decomposition.
+
+    b: (N, k) or (N, k, nrhs).  The interior solves and
+    back-substitutions vmap across chunks; only the (P-1)-block
+    separator substitution is sequential.
+    """
+    N, k, P, c = fact["shape"]
+    nin = c - 1
+    chunk_start = fact["chunk_start"]
+    sep_idx = fact["sep_idx"]
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
+
+    b_ch = jax.vmap(lambda start: b[start + jnp.arange(nin)])(chunk_start)
+    u = jax.vmap(block_thomas_solve)(fact["chols_ch"], fact["L_ch"], b_ch)
+
+    S_rhs = (
+        b[sep_idx]
+        - jnp.einsum("jab,jbr->jar", fact["E"], u[:-1, -1])
+        - jnp.einsum("jba,jbr->jar", fact["F"], u[1:, 0])
+    )
+    s = block_thomas_solve(fact["sep_chols"], fact["S_sub"], S_rhs)
+
+    zrow = jnp.zeros((1,) + s.shape[1:], b.dtype)
+    s_left = jnp.concatenate([zrow, s], axis=0)
+    s_right = jnp.concatenate([s, zrow], axis=0)
+    x_ch = (
+        u
+        - jnp.einsum("pnab,pbr->pnar", fact["VL"], s_left)
+        - jnp.einsum("pnab,pbr->pnar", fact["VR"], s_right)
+    )
+
+    x = jnp.zeros(b.shape, dtype=b.dtype)
+    ids = (chunk_start[:, None] + jnp.arange(nin)[None, :]).reshape(-1)
+    x = x.at[ids].set(x_ch.reshape((-1,) + b.shape[1:]))
+    x = x.at[sep_idx].set(s)
+    return x[..., 0] if squeeze else x
+
+
+# ---------------------------------------------------------------------------
 # Symmetric-indefinite (quasi-definite) variant
 # ---------------------------------------------------------------------------
 

@@ -146,6 +146,15 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _spike_chunks(N: int) -> int:
+    """Chunk count balancing interior depth (~N/P) against the
+    sequential separator recursion (~P): P ~ sqrt(N), power of two."""
+    p = 1
+    while p * p < N + 1:
+        p *= 2
+    return max(2, min(p, 64))
+
+
 def _vmem_bytes(N: int, k: int, r: int) -> int:
     def tile(rows, cols):
         return max(rows, 8) * max(cols, 128) * 4
@@ -252,6 +261,13 @@ def block_tridiag_solve_mp(
     eigenvalues (e.g. the (1/delta)-scaled J^T J coupling of the
     condensed banded KKT system) — the Cholesky-solve scan is backward
     stable per step and refines where the inverse form diverges.
+    ``backend="spike32"`` runs the float32 SPIKE decomposition
+    (block_tridiag.schur_factor/schur_resolve): interior chunks factor
+    and substitute in parallel (vmapped batched Cholesky — MXU-friendly)
+    and only the ~sqrt(N)-block separator recursion is sequential; the
+    system is padded with identity blocks to the chunk layout.  Same
+    backward-stable per-step arithmetic as scan32, ~O(sqrt(N)) instead
+    of O(N) sequential depth — the fast choice for large N on TPU.
     Either way, residuals are evaluated in the input dtype with the
     fully parallel ``block_tridiag_matvec`` and corrected through the
     stored float32 factorization (the reference's factor-once /
@@ -277,6 +293,39 @@ def block_tridiag_solve_mp(
                 Minv, Lp32, rhs, interpret=interpret
             )
 
+    elif backend == "spike32":
+        # f32 SPIKE: identity-pad to the chunk layout, factor once
+        # (parallel interiors), resolve b + refinement residuals
+        from .block_tridiag import schur_factor, schur_resolve
+
+        P = _spike_chunks(N)
+        c = -(-(N + 1) // P)
+        Np = P * c - 1
+        pad = Np - N
+        with jax.default_matmul_precision("float32"):
+            D32 = D.astype(jnp.float32)
+            L32 = L.astype(jnp.float32)
+            if pad:
+                eye = jnp.broadcast_to(
+                    jnp.eye(k, dtype=jnp.float32), (pad, k, k)
+                )
+                D32 = jnp.concatenate([D32, eye], axis=0)
+                L32 = jnp.concatenate(
+                    [L32, jnp.zeros((pad, k, k), jnp.float32)], axis=0
+                )
+            fact = schur_factor(D32, L32, P)
+
+        def resolve(rhs):
+            with jax.default_matmul_precision("float32"):
+                r32 = rhs.astype(jnp.float32)
+                if pad:
+                    r32 = jnp.concatenate(
+                        [r32, jnp.zeros((pad,) + r32.shape[1:], jnp.float32)],
+                        axis=0,
+                    )
+                return schur_resolve(fact, r32)[:N]
+
+        x32 = resolve(b3)
     else:
         # full-f32 matmul precision: TPU f32 matmuls default to bf16
         # multiplies on the MXU (8-bit mantissa), which destroys the

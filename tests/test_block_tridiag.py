@@ -68,3 +68,58 @@ def test_multiple_rhs():
     np.testing.assert_allclose(
         np.asarray(X[..., 1]), 2.0 * np.asarray(X[..., 0]), atol=1e-10
     )
+
+
+def test_schur_factor_resolve_split():
+    """Factor-once/solve-many SPIKE split must match the direct solve
+    for repeated right-hand sides (fact_types.h:9-33 split)."""
+    import numpy as np
+
+    from sleqp_tpu.ops.block_tridiag import (
+        block_tridiag_solve,
+        schur_factor,
+        schur_resolve,
+    )
+
+    N, k, P = 15, 3, 4  # N+1 = 16 = P*c with c=4
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((N, k, k))
+    D = jnp.asarray(np.einsum("nij,nkj->nik", M, M) + 2 * k * np.eye(k))
+    L = jnp.asarray(rng.standard_normal((N - 1, k, k)) * 0.3)
+    fact = schur_factor(D, L, P)
+    for seed in range(3):
+        b = jnp.asarray(np.random.default_rng(seed).standard_normal((N, k)))
+        np.testing.assert_allclose(
+            np.asarray(schur_resolve(fact, b)),
+            np.asarray(block_tridiag_solve(D, L, b)),
+            atol=1e-10,
+        )
+    # multi-rhs
+    B = jnp.asarray(rng.standard_normal((N, k, 2)))
+    np.testing.assert_allclose(
+        np.asarray(schur_resolve(fact, B)),
+        np.asarray(block_tridiag_solve(D, L, B)),
+        atol=1e-10,
+    )
+
+
+def test_solve_mp_spike32_backend():
+    """spike32 mixed-precision backend (f32 SPIKE + f64 refinement) must
+    reach f64 accuracy, including with identity padding (N+1 not a
+    multiple of the chunk count)."""
+    import numpy as np
+
+    from sleqp_tpu.ops.block_tridiag import block_tridiag_solve
+    from sleqp_tpu.ops.pallas_tridiag import block_tridiag_solve_mp
+
+    for N in (18, 37):  # exercises pad != 0
+        k = 4
+        rng = np.random.default_rng(N)
+        M = rng.standard_normal((N, k, k))
+        D = jnp.asarray(np.einsum("nij,nkj->nik", M, M) + 2 * k * np.eye(k))
+        L = jnp.asarray(rng.standard_normal((N - 1, k, k)) * 0.5)
+        b = jnp.asarray(rng.standard_normal((N, k)))
+        x = block_tridiag_solve_mp(D, L, b, refine_iters=3, backend="spike32")
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(block_tridiag_solve(D, L, b)), atol=1e-9
+        )
