@@ -355,7 +355,7 @@ def _structured_kkt_step(
     reg: Array,
     mesh=None,
     mesh_axis: str = "stages",
-    tridiag_backend: str = "scan",
+    tridiag_backend: str = "auto",
 ):
     """Solve the equality-constrained QP via the dual Schur complement.
 
@@ -430,6 +430,17 @@ def _structured_kkt_core(
             # fused VMEM-resident Pallas Thomas kernel (float32) with
             # iterative refinement back to the problem dtype
             lam = block_tridiag_solve_mp(S_diag, S_sub, rhs)
+        elif tridiag_backend == "auto" and dtype == jnp.float32 and T >= 64:
+            # float32 (mixed) configuration at depth: SPIKE cuts the
+            # sequential Thomas depth from O(T) to O(sqrt(T)) — the
+            # interiors are vmapped batched Cholesky chunks (MXU work);
+            # the delta-form outer iteration absorbs the f32 solve error
+            from .ops.block_tridiag import spike_block_tridiag_solve
+            from .ops.pallas_tridiag import _spike_chunks
+
+            lam = spike_block_tridiag_solve(
+                S_diag, S_sub, rhs, _spike_chunks(T)
+            )
         else:
             lam = block_tridiag_solve(S_diag, S_sub, rhs)
     else:
@@ -518,7 +529,7 @@ def ocp_perform_iteration(
     state: OCPState,
     mesh=None,
     mesh_axis: str = "stages",
-    tridiag_backend: str = "scan",
+    tridiag_backend: str = "auto",
 ) -> OCPState:
     """One structured SQP iteration (problem_solver/iteration.c:350
     specialized to the block-structured subproblem layers)."""
@@ -702,7 +713,7 @@ def ocp_solve_jit(
     max_iterations: int,
     mesh=None,
     mesh_axis: str = "stages",
-    tridiag_backend: str = "scan",
+    tridiag_backend: str = "auto",
 ) -> OCPState:
     """Full structured solve as one compiled while_loop (solve.c:95-252)."""
 
@@ -739,7 +750,7 @@ def ocp_solve(
     max_iterations: int = 100,
     mesh=None,
     mesh_axis: str = "stages",
-    tridiag_backend: str = "scan",
+    tridiag_backend: str = "auto",
 ) -> OCPState:
     """Convenience driver: init + jitted structured solve.
 

@@ -293,6 +293,29 @@ def schur_factor(D: Array, L: Array, num_chunks: int):
     )
 
 
+def spike_block_tridiag_solve(
+    D: Array, L: Array, b: Array, num_chunks: int
+) -> Array:
+    """One-shot SPIKE solve with identity padding to the chunk layout
+    (any dtype).  Sequential depth ~ N/P + P instead of N; interiors
+    factor/substitute in parallel."""
+    N, k, _ = D.shape
+    P = num_chunks
+    c = -(-(N + 1) // P)
+    c = max(c, 2)
+    Np = P * c - 1
+    pad = Np - N
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(k, dtype=D.dtype), (pad, k, k))
+        D = jnp.concatenate([D, eye], axis=0)
+        L = jnp.concatenate([L, jnp.zeros((pad, k, k), D.dtype)], axis=0)
+        b = jnp.concatenate(
+            [b, jnp.zeros((pad,) + b.shape[1:], b.dtype)], axis=0
+        )
+    fact = schur_factor(D, L, P)
+    return schur_resolve(fact, b)[:N]
+
+
 def schur_resolve(fact, b: Array) -> Array:
     """Solve A x = b with a stored ``schur_factor`` decomposition.
 
