@@ -20,10 +20,18 @@ program to per-iteration stepping, and to CPU, if compilation fails.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: remote-TPU compiles of the fused
+# whole-solve programs take minutes; cache them across bench runs
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 
 BATCH = 512
