@@ -65,8 +65,11 @@ def test_medium_problem_solves(name):
 
 def test_medium_registry_complete():
     from sleqp_tpu.harness.driver import ALL_PROBLEMS
+    from sleqp_tpu.harness.large import LARGE_PROBLEMS
     from sleqp_tpu.harness.medium import MEDIUM_PROBLEMS
 
     assert len(MEDIUM_PROBLEMS) == 7
+    assert len(LARGE_PROBLEMS) == 3
     assert set(MEDIUM_PROBLEMS) <= set(ALL_PROBLEMS)
-    assert len(ALL_PROBLEMS) == 59 + 7
+    assert set(LARGE_PROBLEMS) <= set(ALL_PROBLEMS)
+    assert len(ALL_PROBLEMS) == 59 + 7 + 3
