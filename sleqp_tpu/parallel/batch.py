@@ -132,8 +132,8 @@ def batched_solve_mp(
     x0_batch: Array,
     max_iterations: int = 1000,
     coarse_tol: float = 2e-3,
-    coarse_iterations: int = 30,
-    polish_iterations: int = 15,
+    coarse_iterations: int = 20,
+    polish_iterations: int = 12,
 ) -> SolverState:
     """Two-phase mixed-precision batched solve (BASELINE config 2 fast path).
 
