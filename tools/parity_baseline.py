@@ -36,8 +36,21 @@ def main() -> None:
     import jax.numpy as jnp
     from scipy.optimize import minimize as scipy_minimize
 
-    from sleqp_tpu.harness.hs import HS_PROBLEMS as PROBLEM_NAMES
-    from sleqp_tpu.harness.hs import get_problem
+    from sleqp_tpu.harness.hs import HS_PROBLEMS
+    from sleqp_tpu.harness.medium import MEDIUM_PROBLEMS
+    from sleqp_tpu.harness.driver import get_problem
+
+    # HS + medium: everything SLSQP (dense, n <= ~1000) can reasonably
+    # attempt; the large banded tier (n >= 10^4) is out of reach for a
+    # dense SQP and is excluded from the baseline.
+    import sys as _sys
+
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "all"
+    PROBLEM_NAMES = {
+        "hs": list(HS_PROBLEMS),
+        "medium": list(MEDIUM_PROBLEMS),
+        "all": list(HS_PROBLEMS) + list(MEDIUM_PROBLEMS),
+    }[which]
 
     rows = []
     solved_count = 0
@@ -165,7 +178,7 @@ def main() -> None:
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts",
-        "suite_slsqp_r3.csv",
+        "suite_slsqp_r4.csv",
     )
     with open(out, "w") as fh:
         fh.write(
