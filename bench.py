@@ -291,10 +291,20 @@ def _kkt_diagnostics(device, mixed: bool = False) -> dict:
             else:
                 fn = jax.jit(block_tridiag_solve)
             jax.block_until_ready(fn(D, L, b))
+            # dependent chain (each solve's rhs is the previous solution,
+            # renormalized): repeated same-argument calls have measured
+            # impossibly fast on the remote backend (r3: 0.124 ms for a
+            # 790 ms computation — an async-completion artifact); a data
+            # dependence makes the timing unfakeable
+            chain = jax.jit(
+                lambda D, L, x: fn(D, L, x / jnp.linalg.norm(x))
+            )
+            x = jax.block_until_ready(chain(D, L, b))
             t0 = time.perf_counter()
             reps = 5
             for _ in range(reps):
-                jax.block_until_ready(fn(D, L, b))
+                x = chain(D, L, x)
+            jax.block_until_ready(x)
             dt = (time.perf_counter() - t0) / reps
             # nominal ~ (14/3) k^3 per block factor+solve
             gflops = (14.0 / 3.0) * N * k**3 / dt / 1e9

@@ -430,11 +430,12 @@ def _structured_kkt_core(
             # fused VMEM-resident Pallas Thomas kernel (float32) with
             # iterative refinement back to the problem dtype
             lam = block_tridiag_solve_mp(S_diag, S_sub, rhs)
-        elif tridiag_backend == "auto" and dtype == jnp.float32 and T >= 64:
-            # float32 (mixed) configuration at depth: SPIKE cuts the
-            # sequential Thomas depth from O(T) to O(sqrt(T)) — the
-            # interiors are vmapped batched Cholesky chunks (MXU work);
-            # the delta-form outer iteration absorbs the f32 solve error
+        elif tridiag_backend == "spike" and dtype == jnp.float32:
+            # explicit option: SPIKE cuts the sequential Thomas depth
+            # from O(T) to O(sqrt(T)).  NOT the auto choice: measured
+            # on-chip at nx=32/T=1560 the extra coupling solves cost
+            # more than the depth saves (100.3 vs 78.7 ms/iteration) —
+            # the scan's per-step cost is small at k<=32
             from .ops.block_tridiag import spike_block_tridiag_solve
             from .ops.pallas_tridiag import _spike_chunks
 

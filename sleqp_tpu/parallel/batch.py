@@ -188,6 +188,15 @@ def batched_solve_mp(
         feas_tol=max(settings.feas_tol, coarse_tol),
         stat_tol=max(settings.stat_tol, coarse_tol),
         slack_tol=max(settings.slack_tol, coarse_tol),
+        # Phase 1 is only a warm-start generator; under vmap every
+        # lax.cond lowers to a select that evaluates BOTH branches for
+        # every lane, so optional branches (the SOC second evaluation +
+        # min-norm solve, the Byrd-update LP resolve) are paid on every
+        # iteration whether used or not — strip them here.  Phase 2
+        # keeps the faithful reference behavior and issues the
+        # certificate.
+        perform_soc=False,
+        lp_resolves=False,
     )
     with f32_compute_scope():
         # traced inside the scope so float64 constants closed over by the
