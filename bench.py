@@ -118,13 +118,14 @@ def _bench_fused(
             )
             arg = state0
         out = fn(arg)  # compile + run
-        jax.block_until_ready(out)
-        # timed runs
+        int(np.sum(np.asarray(out.iteration)))  # host read
+        # timed runs (each rep ends on a device-to-host read — the
+        # remote backend's block_until_ready can return early)
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(arg)
-            jax.block_until_ready(out)
+            int(np.sum(np.asarray(out.iteration)))
         dt = (time.perf_counter() - t0) / reps
         total_iters = int(np.sum(np.asarray(out.iteration)))
         solved = int(np.sum(np.asarray(out.status) == Status.OPTIMAL))
@@ -299,12 +300,16 @@ def _kkt_diagnostics(device, mixed: bool = False) -> dict:
             chain = jax.jit(
                 lambda D, L, x: fn(D, L, x / jnp.linalg.norm(x))
             )
-            x = jax.block_until_ready(chain(D, L, b))
+            x = chain(D, L, b)
+            float(jnp.sum(x))  # host read: forces completion
             t0 = time.perf_counter()
             reps = 5
             for _ in range(reps):
                 x = chain(D, L, x)
-            jax.block_until_ready(x)
+            # end on a device-to-host read, not block_until_ready: the
+            # remote backend's block_until_ready has been observed to
+            # return before execution completes; a host read cannot
+            float(jnp.sum(x))
             dt = (time.perf_counter() - t0) / reps
             # nominal ~ (14/3) k^3 per block factor+solve
             gflops = (14.0 / 3.0) * N * k**3 / dt / 1e9
@@ -370,11 +375,14 @@ def _ocp_diagnostics(
             s0 = ocp_initial_state(ocp, settings)
             step = jax.jit(lambda s: ocp_perform_iteration(ocp, settings, s))
             s = step(s0)
-            jax.block_until_ready(s)
+            float(s.obj_val)  # host read: forces completion
             t0 = time.perf_counter()
             for _ in range(reps):
                 s = step(s)
-                jax.block_until_ready(s)
+            # chained steps, one terminal host read (per-step
+            # block_until_ready both pays a tunnel round-trip per step
+            # AND has been observed unreliable on the remote backend)
+            float(s.obj_val)
             dt = (time.perf_counter() - t0) / reps
             print(
                 f"# {key} structured SQP n={T * (nx + nu)}: "
@@ -423,10 +431,10 @@ def _banded_diagnostics(device, key: str = "banded", mixed: bool = False) -> dic
                 Settings(compute_dtype="float32") if mixed else Settings()
             )
             st = banded_solve(p, settings, max_iterations=100)
-            jax.block_until_ready(st.X)
+            float(st.obj_val)  # host read: forces completion
             t0 = time.perf_counter()
             st = banded_solve(p, settings, max_iterations=100)
-            jax.block_until_ready(st.X)
+            float(st.obj_val)
             dt = time.perf_counter() - t0
             ok = int(st.status) == Status.OPTIMAL
             print(
@@ -467,7 +475,7 @@ def main() -> None:
         # library, so "baseline" = the host CPU it would run on.
         ratios = {}
         extras.update(_kkt_diagnostics(accel_devices[0], mixed=True))
-        extras.update(_ocp_diagnostics(accel_devices[0], mixed=True))
+        extras.update(_ocp_diagnostics(accel_devices[0], mixed=True, reps=10))
         extras.update(_banded_diagnostics(accel_devices[0], mixed=True))
         if cpu_devices:
             cpu_kkt = _cpu_probe("kkt", 300)
