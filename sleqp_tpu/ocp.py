@@ -377,20 +377,16 @@ def _structured_kkt_step(
     reg = reg.astype(dtype)
     free = (~frozen).astype(dtype)  # (T+1, nz)
 
-    if jnp.dtype(dtype) == jnp.float32:
-        # true-f32 matmul passes: TPU f32 matmuls default to bf16
-        # multiplies on the MXU, which degrades the Cholesky factors and
-        # Schur products this mixed-precision solve certifies against
-        # (see types.f32_compute_scope)
-        ctx = jax.default_matmul_precision("float32")
-    else:
-        import contextlib
-
-        ctx = contextlib.nullcontext()
-    with ctx:
-        return _structured_kkt_core(
-            problem, c, g, G, H, free, reg, mesh, mesh_axis, tridiag_backend
-        )
+    # NOTE: no matmul-precision forcing here — the f32 KKT factors run at
+    # the MXU default (bf16 multiplies).  The delta-form outer iteration
+    # treats the resulting inexactness as a backward perturbation and
+    # still converges to float64 tolerances (measured r3/r4); forcing
+    # 6-pass true-f32 cost ~27%/iteration for nothing the f64 residuals
+    # could see.  The refinement-based tridiag solve, which DOES need
+    # true f32, forces it internally (ops/pallas_tridiag.py).
+    return _structured_kkt_core(
+        problem, c, g, G, H, free, reg, mesh, mesh_axis, tridiag_backend
+    )
 
 
 def _structured_kkt_core(

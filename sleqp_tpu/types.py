@@ -186,28 +186,31 @@ INF_THRESHOLD = 1e19
 
 @contextlib.contextmanager
 def f32_compute_scope():
-    """Trace-time float32 scope for mixed-precision compute.
+    """Trace-time float32 scope for mixed-precision derivative assembly.
 
-    Three things at once:
+    ``jax.enable_x64(False)`` demotes float64 constants closed over by
+    user callables to float32 — intentionally, but JAX emits a
+    "requested dtype float64 ... truncated to float32" UserWarning per
+    demotion, which looks like a bug to users of the mixed
+    configuration.  This scope silences exactly that warning.
 
-    * ``jax.enable_x64(False)`` demotes float64 constants closed over by
-      user callables to float32 — intentionally, but JAX emits a
-      "requested dtype float64 ... truncated to float32" UserWarning per
-      demotion, which looks like a bug to users of the mixed
-      configuration; the scope silences exactly that warning.
-    * ``jax.default_matmul_precision("float32")``: TPU float32 matmuls
-      default to bfloat16 multiplies on the MXU (8-bit mantissa).  The
-      mixed configuration certifies against float64 residuals assuming
-      float32-accurate (~1e-7) derivatives and factors, so the scope
-      forces true-float32 passes (the extra MXU passes are noise at the
-      small per-stage matrix sizes this path runs)."""
+    Deliberately does NOT force ``jax.default_matmul_precision``: TPU
+    f32 matmuls default to bf16 MXU multiplies, and for *derivative
+    assembly* that inexactness is just a backward perturbation the
+    delta-form outer iteration absorbs (measured: forcing 6-pass true
+    f32 here cost the OCP path ~27% per iteration for no accuracy the
+    f64 residuals could see).  The one place true-f32 passes are
+    REQUIRED — the mixed block-tridiagonal factorization, whose
+    refinement loop diverges under bf16 rounding at 1e4-scale
+    conditioning — forces it internally
+    (ops/pallas_tridiag.block_tridiag_solve_mp)."""
     with warnings.catch_warnings():
         warnings.filterwarnings(
             "ignore",
             message=".*truncated to dtype float32.*",
             category=UserWarning,
         )
-        with jax.enable_x64(False), jax.default_matmul_precision("float32"):
+        with jax.enable_x64(False):
             yield
 
 
