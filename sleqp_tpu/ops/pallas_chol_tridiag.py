@@ -1,0 +1,264 @@
+"""Batched Cholesky block-Thomas Pallas kernels.
+
+The mixed-precision structured-KKT path factors SPD block-tridiagonal
+systems in float32 (ops/pallas_tridiag.block_tridiag_solve_mp).  The XLA
+implementations bottom out in CholeskyDecomposition / TriangularSolve
+ops, which TPUs execute at a tiny fraction of peak for k = 32..64 blocks
+(~9 GFLOP/s measured end-to-end at n = 10240 — the whole solve is
+primitive-overhead).  These kernels implement the same recursions as
+ops/block_tridiag.block_thomas_factor/solve as straight-line VPU/MXU
+code inside ONE pallas_call each:
+
+* Cholesky: right-looking, k unrolled rank-1 downdates (exact f32).
+* Triangular solves: k unrolled substitution steps (exact f32 — the
+  refinement loop in block_tridiag_solve_mp requires true-f32 factors;
+  matmuls that hit the MXU use Precision.HIGHEST).
+* The batch dimension P (SPIKE chunks) vectorizes every step, so the
+  sequential depth is the chunk length, not N.
+
+Unlike ops/pallas_tridiag._factor_solve_kernel (explicit Gauss-Jordan
+block inverses), these are backward stable per step — safe for the
+(1/delta)-scaled couplings of the condensed banded KKT system.
+
+Numerics match block_thomas_factor/solve exactly (same recursion, same
+factor object semantics: the stored blocks are the Cholesky factors of
+the Schur-complemented diagonals).  reference: the factor-once /
+solve-many split of fact_types.h:9-33 over src/main/fact/.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# unrolled-substitution kernels get large beyond this block size (and the
+# XLA batched path catches up anyway)
+MAX_CHOL_BLOCK = 128
+
+
+def _chol_batched(C: Array) -> Array:
+    """Right-looking Cholesky of (P, k, k) SPD blocks, k unrolled rank-1
+    downdates; returns lower factors."""
+    P, k, _ = C.shape
+    rows = lax.broadcasted_iota(jnp.int32, (k,), 0)
+    A = C
+    L = jnp.zeros_like(C)
+    for j in range(k):
+        d = lax.rsqrt(A[:, j, j])  # (P,)
+        col = A[:, :, j] * d[:, None]  # (P, k)
+        col = jnp.where((rows >= j)[None, :], col, 0.0)
+        # place column j of the factor without dynamic-update-slice
+        onehot = (rows == j).astype(C.dtype)  # (k,)
+        L = L + col[:, :, None] * onehot[None, None, :]
+        A = A - col[:, :, None] * col[:, None, :]
+    return L
+
+
+def _trisolve_lower_t(L: Array, B: Array) -> Array:
+    """Solve Y L^T = B (i.e. L y^T = b^T per row) for lower-triangular
+    (P, k, k) L, with the rhs in TRANSPOSED layout B (P, r, k) — rows
+    are right-hand sides.  The (r, k) layout tiles as (8, 128) sublanes
+    x lanes instead of padding a k x 1 column to k x 128."""
+    P, k, _ = L.shape
+    cols = lax.broadcasted_iota(jnp.int32, (k,), 0)
+    Y = jnp.zeros_like(B)
+    for j in range(k):
+        lj = L[:, j, :]  # (P, k): row j of L (cols < j nonzero + diag)
+        acc = jnp.sum(lj[:, None, :] * Y, axis=2)  # (P, r)
+        yj = (B[:, :, j] - acc) / L[:, j, j][:, None]
+        onehot = (cols == j).astype(B.dtype)
+        Y = Y + yj[:, :, None] * onehot[None, None, :]
+    return Y
+
+
+def _trisolve_upper_tt(L: Array, B: Array) -> Array:
+    """Solve X L = B (i.e. L^T x^T = b^T per row), transposed layout."""
+    P, k, _ = L.shape
+    cols = lax.broadcasted_iota(jnp.int32, (k,), 0)
+    X = jnp.zeros_like(B)
+    for jj in range(k):
+        j = k - 1 - jj
+        ltj = L[:, :, j]  # (P, k): column j of L
+        acc = jnp.sum(ltj[:, None, :] * X, axis=2)  # (P, r)
+        xj = (B[:, :, j] - acc) / L[:, j, j][:, None]
+        onehot = (cols == j).astype(B.dtype)
+        X = X + xj[:, :, None] * onehot[None, None, :]
+    return X
+
+
+def _cho_solve_t(Lc: Array, B: Array) -> Array:
+    """C^-1 applied to transposed-layout rhs: solves X C = B for
+    symmetric C = L L^T, B (P, r, k)."""
+    return _trisolve_upper_tt(Lc, _trisolve_lower_t(Lc, B))
+
+
+def _hi_dot_nt(a, b):
+    """Batched a @ b^T (contract both last dims) at true-f32 precision."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _read(ref, i):
+    return ref[:, pl.ds(i, 1)][:, 0]
+
+
+def _write(ref, i, val):
+    ref[:, pl.ds(i, 1)] = val[:, None]
+
+
+def _factor_kernel(D_ref, Lp_ref, chol_ref):
+    """Batched Thomas factorization.
+
+    D: (P, c, k, k) diagonals; Lp: (P, c, k, k) with Lp[:, i] = L[:, i-1]
+    (Lp[:, 0] = 0).  Writes the Cholesky factors of the Schur-
+    complemented diagonals to chol (P, c, k, k) — which may alias D
+    (each D block is read exactly once, before its slot is written).
+    """
+    c = D_ref.shape[1]
+
+    ch0 = _chol_batched(D_ref[:, 0])
+    chol_ref[:, 0] = ch0
+
+    def step(i, ch_prev):
+        Li = _read(Lp_ref, i)  # (P, k, k) = L[i-1]
+        # W^T = L_i C_prev^-1  (transposed-layout solve, rows = rhs)
+        Wt = _cho_solve_t(ch_prev, Li)
+        # C_i = D_i - L_i C_prev^-1 L_i^T = D_i - W^T L_i^T
+        Ci = _read(D_ref, i) - _hi_dot_nt(Wt, Li)
+        chi = _chol_batched(Ci)
+        _write(chol_ref, i, chi)
+        return chi
+
+    lax.fori_loop(1, c, step, ch0)
+
+
+def _solve_kernel(chol_ref, Lp_ref, b_ref, x_ref):
+    """Both substitution sweeps against stored factors.
+
+    b, x: (P, c, r, k) — TRANSPOSED rhs layout (rows are right-hand
+    sides), so an r=1 solve tiles as (8, 128) instead of padding a
+    k x 1 column to k x 128.  x may alias b.
+    """
+    c = chol_ref.shape[1]
+
+    # forward: solved_i = C_i^-1 (b_i - L_{i-1} solved_{i-1})
+    s0 = _cho_solve_t(chol_ref[:, 0], b_ref[:, 0])
+    x_ref[:, 0] = s0
+
+    def fwd(i, s_prev):
+        Li = _read(Lp_ref, i)
+        # rows: y = b - s_prev L^T
+        yi = _read(b_ref, i) - _hi_dot_nt(s_prev, Li)
+        si = _cho_solve_t(_read(chol_ref, i), yi)
+        _write(x_ref, i, si)
+        return si
+
+    s_last = lax.fori_loop(1, c, fwd, s0)
+
+    # backward: x_i = solved_i - C_i^-1 L_i^T x_{i+1}
+    def bwd(jj, x_next):
+        i = c - 2 - jj
+        Lip1 = _read(Lp_ref, i + 1)  # = L[i]
+        # rows: (L^T x)^T = x_next L
+        rhs = jax.lax.dot_general(
+            x_next,
+            Lip1,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        corr = _cho_solve_t(_read(chol_ref, i), rhs)
+        xi = _read(x_ref, i) - corr
+        _write(x_ref, i, xi)
+        return xi
+
+    lax.fori_loop(0, c - 1, bwd, s_last)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_sub(L: Array) -> Array:
+    """(P, c-1, k, k) sub-diagonals -> (P, c, k, k) with Lp[:, 0] = 0."""
+    P, cm1, k, _ = L.shape
+    return jnp.concatenate(
+        [jnp.zeros((P, 1, k, k), L.dtype), L], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _factor_call(D32, Lp32, interpret):
+    return pl.pallas_call(
+        _factor_kernel,
+        out_shape=jax.ShapeDtypeStruct(D32.shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},  # chol overwrites D in place
+        interpret=interpret,
+    )(D32, Lp32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _solve_call(chols, Lp32, b32, interpret):
+    return pl.pallas_call(
+        _solve_kernel,
+        out_shape=jax.ShapeDtypeStruct(b32.shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},  # x overwrites b in place
+        interpret=interpret,
+    )(chols, Lp32, b32)
+
+
+def batched_thomas_factor_pallas(D: Array, L: Array, *, interpret=None):
+    """float32 batched Thomas factorization.
+
+    D: (P, c, k, k); L: (P, c-1, k, k).  Returns (chols, Lp32) for
+    ``batched_thomas_solve_pallas`` (factor-once/solve-many).
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    Lp32 = _pad_sub(L.astype(jnp.float32))
+    chols = _factor_call(D.astype(jnp.float32), Lp32, interpret)
+    return chols, Lp32
+
+
+def batched_thomas_solve_pallas(chols, Lp32, B, *, interpret=None):
+    """Solve against a stored factorization.  B: (P, c, k) or
+    (P, c, k, r); returns the same shape in float32.  Internally the
+    rhs runs in transposed (P, c, r, k) layout for tiling."""
+    if interpret is None:
+        interpret = _default_interpret()
+    squeeze = B.ndim == 3
+    B32 = B.astype(jnp.float32)
+    if squeeze:
+        B32 = B32[..., None]
+    Bt = jnp.swapaxes(B32, 2, 3)  # (P, c, r, k)
+    xt = _solve_call(chols, Lp32, Bt, interpret)
+    x = jnp.swapaxes(xt, 2, 3)
+    return x[..., 0] if squeeze else x
+
+
+def chol_pallas_supported(P: int, c: int, k: int, r: int = 1) -> bool:
+    """VMEM feasibility: D/Lp/chol (+ one rhs set) resident at once,
+    lane-padded to 128."""
+    if k > MAX_CHOL_BLOCK:
+        return False
+    lane = max(k, 128)
+    blk = max(k, 8) * lane * 4
+    rhs = max(k, 8) * max(r, 128) * 4
+    total = P * c * (3 * blk + 2 * rhs)
+    return total <= 13 * 1024 * 1024

@@ -293,6 +293,29 @@ def block_tridiag_solve_mp(
                 Minv, Lp32, rhs, interpret=interpret
             )
 
+    elif backend == "chol_pallas":
+        # hand-rolled Cholesky block-Thomas pallas kernels
+        # (ops/pallas_chol_tridiag.py): XLA's batched Cholesky /
+        # TriangularSolve run at ~1% of the sequential scan's speed on
+        # TPU (465 ms for ONE batched (160,64,64) cho_factor vs 6 ms
+        # for the whole 160-step scan); the kernels do the same stable
+        # recursion as straight-line VPU/MXU code
+        from .pallas_chol_tridiag import (
+            batched_thomas_factor_pallas,
+            batched_thomas_solve_pallas,
+        )
+
+        chols, Lp32 = batched_thomas_factor_pallas(
+            D[None], L[None], interpret=interpret
+        )
+
+        def resolve(rhs):
+            return batched_thomas_solve_pallas(
+                chols, Lp32, rhs[None].astype(jnp.float32),
+                interpret=interpret,
+            )[0]
+
+        x32 = resolve(b3)
     elif backend == "spike32":
         # f32 SPIKE: identity-pad to the chunk layout, factor once
         # (parallel interiors), resolve b + refinement residuals

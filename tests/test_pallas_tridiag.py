@@ -126,3 +126,70 @@ def test_fallback_when_unsupported():
     x = block_tridiag_solve_mp(D, L, b, interpret=True)
     x_ref = block_tridiag_solve(D, L, b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-12)
+
+
+def test_chol_pallas_backend_matches_f64():
+    """Cholesky block-Thomas pallas kernels (stable per step, unlike the
+    explicit-inverse kernel) must refine to f64 accuracy — including on
+    the strongly-coupled condensed-KKT-like systems where the
+    Gauss-Jordan kernel diverges."""
+    import numpy as np
+
+    from sleqp_tpu.ops.block_tridiag import block_tridiag_solve
+    from sleqp_tpu.ops.pallas_tridiag import block_tridiag_solve_mp
+
+    rng = np.random.default_rng(0)
+    N, k = 12, 8
+    M = rng.standard_normal((N, k, k))
+    # strong off-diagonal coupling (the banded-K failure mode)
+    D = jnp.asarray(
+        np.einsum("nij,nkj->nik", M, M) * 0.1 + 1e4 * np.eye(k)
+    )
+    D = D.at[0].add(-1e4 * jnp.eye(k) + 2.0 * jnp.eye(k))
+    L = jnp.asarray(rng.standard_normal((N - 1, k, k)) * 3e3)
+    b = jnp.asarray(rng.standard_normal((N, k)))
+    x = block_tridiag_solve_mp(D, L, b, refine_iters=3, backend="chol_pallas")
+    ref = block_tridiag_solve(D, L, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), atol=1e-7)
+
+
+def test_batched_thomas_pallas_vs_xla():
+    """The batched pallas factor/solve must match vmapped XLA
+    block_thomas factor/solve (same recursion, same factor)."""
+    import numpy as np
+
+    from sleqp_tpu.ops.block_tridiag import (
+        block_thomas_factor,
+        block_thomas_solve,
+    )
+    from sleqp_tpu.ops.pallas_chol_tridiag import (
+        batched_thomas_factor_pallas,
+        batched_thomas_solve_pallas,
+    )
+
+    import jax
+
+    P, c, k, r = 3, 5, 8, 4
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((P, c, k, k))
+    D = jnp.asarray(
+        np.einsum("pcij,pckj->pcik", M, M) + 2 * k * np.eye(k),
+        dtype=jnp.float32,
+    )
+    L = jnp.asarray(
+        rng.standard_normal((P, c - 1, k, k)) * 0.3, dtype=jnp.float32
+    )
+    chols, Lp = batched_thomas_factor_pallas(D, L)
+    ch_ref = jax.vmap(block_thomas_factor)(D, L)
+    np.testing.assert_allclose(
+        np.asarray(chols), np.asarray(ch_ref), atol=1e-5
+    )
+    for B in (
+        jnp.asarray(rng.standard_normal((P, c, k)), dtype=jnp.float32),
+        jnp.asarray(rng.standard_normal((P, c, k, r)), dtype=jnp.float32),
+    ):
+        x = batched_thomas_solve_pallas(chols, Lp, B)
+        ref = jax.vmap(block_thomas_solve)(ch_ref, L, B)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(ref), atol=1e-5
+        )
