@@ -286,7 +286,7 @@ def _kkt_diagnostics(device, mixed: bool = False) -> dict:
             if mixed:
                 fn = jax.jit(
                     lambda D, L, b: block_tridiag_solve_mp(
-                        D, L, b, refine_iters=3, backend="spike32"
+                        D, L, b, refine_iters=3, backend="scan32"
                     )
                 )
             else:
@@ -313,7 +313,7 @@ def _kkt_diagnostics(device, mixed: bool = False) -> dict:
             dt = (time.perf_counter() - t0) / reps
             # nominal ~ (14/3) k^3 per block factor+solve
             gflops = (14.0 / 3.0) * N * k**3 / dt / 1e9
-            mode = "mp-spike32" if mixed else "f64-scan"
+            mode = "mp-scan32" if mixed else "f64-scan"
             print(
                 f"# kkt block-tridiag [{mode}] n={N * k}: "
                 f"{1e3 * dt:.2f} ms/solve, {gflops:.1f} GFLOP/s "

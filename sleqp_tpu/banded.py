@@ -587,15 +587,15 @@ def _kkt_solve(
     if mixed:
         from .ops.pallas_tridiag import block_tridiag_solve_mp
 
-        # spike32 backend: f32 SPIKE (parallel interior Cholesky chunks +
-        # ~sqrt(N) sequential separator recursion) with f64 refinement.
-        # The explicit-inverse Pallas Thomas kernel is NOT used here: it
-        # amplifies rounding under the (1/delta)-scaled off-diagonal
-        # coupling of this condensed K (error ~ ||L|| / lambda_min(H)
-        # per stage); the Cholesky-solve recursions are backward stable
-        # and refine to f64 in 3 passes.
+        # scan32 backend: f32 Cholesky block-Thomas scan + 3 f64-residual
+        # refinement passes.  Measured fastest on-chip (15.4 ms at
+        # n=10240 vs 21.3 ms for the f32 SPIKE — XLA's batched small
+        # Cholesky/TriangularSolve are pathologically slow on TPU, so
+        # SPIKE's parallel interiors lose to the plain scan; the
+        # explicit-inverse Pallas kernel is numerically unusable under
+        # this K's (1/delta)-scaled coupling).
         d = block_tridiag_solve_mp(
-            Kd, Ks, rhs, refine_iters=3, backend="spike32"
+            Kd, Ks, rhs, refine_iters=3, backend="scan32"
         )
     else:
         d = block_tridiag_solve(Kd, Ks, rhs)

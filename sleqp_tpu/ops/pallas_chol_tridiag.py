@@ -24,11 +24,26 @@ Numerics match block_thomas_factor/solve exactly (same recursion, same
 factor object semantics: the stored blocks are the Cholesky factors of
 the Schur-complemented diagonals).  reference: the factor-once /
 solve-many split of fact_types.h:9-33 over src/main/fact/.
+
+STATUS (r4): verified bit-exact against the XLA path in interpret mode
+(tests/test_pallas_tridiag.py) but NOT yet the default on hardware —
+the remote TPU compile service crashes (HTTP 500, tpu_compile_helper
+exit 1, no diagnostics surfaced) on these kernels while compiling
+near-identical bisect kernels fine; local compilation is blocked by a
+client/terminal libtpu version mismatch.  Bisection so far: trivial
+elementwise, fori+iota/where/reduce/rsqrt singletons, 4D refs with
+pl.ds dynamic read/write, aliasing, nested fori with tuple carries and
+HIGHEST-precision dot_general all compile individually; adding the
+lane-reduction (P,k)->(P,1) + broadcast-multiply sequence of the
+Cholesky body reproduces the crash.  Revisit when the toolchain rolls
+— the payoff stands (XLA's batched Cholesky/TriangularSolve measured
+465/671 ms where the whole scan needs 6 ms).
 """
 
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -42,23 +57,41 @@ Array = jax.Array
 # XLA batched path catches up anyway)
 MAX_CHOL_BLOCK = 128
 
+# tracing the k-unrolled substitution chains through jit->pallas->fori
+# exceeds CPython's default recursion limit at k >= ~32
+if sys.getrecursionlimit() < 10_000:
+    sys.setrecursionlimit(10_000)
+
 
 def _chol_batched(C: Array) -> Array:
-    """Right-looking Cholesky of (P, k, k) SPD blocks, k unrolled rank-1
-    downdates; returns lower factors."""
+    """Right-looking Cholesky of (P, k, k) SPD blocks: k rank-1
+    downdates via fori_loop, column extraction by one-hot reduction
+    (no unrolling — k-unrolled chains blow the trace recursion limit —
+    and no dynamic lane slicing, which Mosaic restricts)."""
     P, k, _ = C.shape
     rows = lax.broadcasted_iota(jnp.int32, (k,), 0)
-    A = C
-    L = jnp.zeros_like(C)
-    for j in range(k):
-        d = lax.rsqrt(A[:, j, j])  # (P,)
-        col = A[:, :, j] * d[:, None]  # (P, k)
-        col = jnp.where((rows >= j)[None, :], col, 0.0)
-        # place column j of the factor without dynamic-update-slice
-        onehot = (rows == j).astype(C.dtype)  # (k,)
-        L = L + col[:, :, None] * onehot[None, None, :]
+
+    def body(j, carry):
+        A, Lf = carry
+        # select, not astype: Mosaic's bool->float convert rule recurses;
+        # keep every intermediate >= 2-D (1-D rsqrt inside the nested
+        # fori crashed the backend compiler)
+        oh = jnp.where(rows == j, jnp.float32(1), jnp.float32(0))  # (k,)
+        dcol = jnp.sum(A * oh[None, None, :], axis=2)  # (P, k) col j
+        diag = jnp.sum(dcol * oh[None, :], axis=1, keepdims=True)  # (P, 1)
+        d = lax.rsqrt(diag)
+        lower = jnp.where(
+            rows[None, :] >= j, jnp.float32(1), jnp.float32(0)
+        )  # (1, k)
+        col = dcol * d * lower
+        Lf = Lf + col[:, :, None] * oh[None, None, :]
         A = A - col[:, :, None] * col[:, None, :]
-    return L
+        return A, Lf
+
+    _, Lf = lax.fori_loop(
+        jnp.int32(0), jnp.int32(k), body, (C, jnp.zeros_like(C))
+    )
+    return Lf
 
 
 def _trisolve_lower_t(L: Array, B: Array) -> Array:
@@ -68,29 +101,35 @@ def _trisolve_lower_t(L: Array, B: Array) -> Array:
     x lanes instead of padding a k x 1 column to k x 128."""
     P, k, _ = L.shape
     cols = lax.broadcasted_iota(jnp.int32, (k,), 0)
-    Y = jnp.zeros_like(B)
-    for j in range(k):
-        lj = L[:, j, :]  # (P, k): row j of L (cols < j nonzero + diag)
+
+    def body(j, Y):
+        oh = jnp.where(cols == j, jnp.float32(1), jnp.float32(0))  # (k,)
+        lj = jnp.sum(L * oh[None, :, None], axis=1)  # (P, k): row j of L
+        diag = jnp.sum(lj * oh[None, :], axis=1, keepdims=True)  # (P, 1)
         acc = jnp.sum(lj[:, None, :] * Y, axis=2)  # (P, r)
-        yj = (B[:, :, j] - acc) / L[:, j, j][:, None]
-        onehot = (cols == j).astype(B.dtype)
-        Y = Y + yj[:, :, None] * onehot[None, None, :]
-    return Y
+        bj = jnp.sum(B * oh[None, None, :], axis=2)  # (P, r)
+        yj = (bj - acc) / diag
+        return Y + yj[:, :, None] * oh[None, None, :]
+
+    return lax.fori_loop(jnp.int32(0), jnp.int32(k), body, jnp.zeros_like(B))
 
 
 def _trisolve_upper_tt(L: Array, B: Array) -> Array:
     """Solve X L = B (i.e. L^T x^T = b^T per row), transposed layout."""
     P, k, _ = L.shape
     cols = lax.broadcasted_iota(jnp.int32, (k,), 0)
-    X = jnp.zeros_like(B)
-    for jj in range(k):
-        j = k - 1 - jj
-        ltj = L[:, :, j]  # (P, k): column j of L
+
+    def body(jj, X):
+        j = jnp.asarray(k - 1, jnp.int32) - jj
+        oh = jnp.where(cols == j, jnp.float32(1), jnp.float32(0))
+        ltj = jnp.sum(L * oh[None, None, :], axis=2)  # (P, k): col j of L
+        diag = jnp.sum(ltj * oh[None, :], axis=1, keepdims=True)  # (P, 1)
         acc = jnp.sum(ltj[:, None, :] * X, axis=2)  # (P, r)
-        xj = (B[:, :, j] - acc) / L[:, j, j][:, None]
-        onehot = (cols == j).astype(B.dtype)
-        X = X + xj[:, :, None] * onehot[None, None, :]
-    return X
+        bj = jnp.sum(B * oh[None, None, :], axis=2)
+        xj = (bj - acc) / diag
+        return X + xj[:, :, None] * oh[None, None, :]
+
+    return lax.fori_loop(jnp.int32(0), jnp.int32(k), body, jnp.zeros_like(B))
 
 
 def _cho_solve_t(Lc: Array, B: Array) -> Array:
@@ -132,6 +171,7 @@ def _factor_kernel(D_ref, Lp_ref, chol_ref):
     chol_ref[:, 0] = ch0
 
     def step(i, ch_prev):
+        i = jnp.asarray(i, jnp.int32)
         Li = _read(Lp_ref, i)  # (P, k, k) = L[i-1]
         # W^T = L_i C_prev^-1  (transposed-layout solve, rows = rhs)
         Wt = _cho_solve_t(ch_prev, Li)
@@ -141,7 +181,7 @@ def _factor_kernel(D_ref, Lp_ref, chol_ref):
         _write(chol_ref, i, chi)
         return chi
 
-    lax.fori_loop(1, c, step, ch0)
+    lax.fori_loop(jnp.int32(1), jnp.int32(c), step, ch0)
 
 
 def _solve_kernel(chol_ref, Lp_ref, b_ref, x_ref):
@@ -158,6 +198,7 @@ def _solve_kernel(chol_ref, Lp_ref, b_ref, x_ref):
     x_ref[:, 0] = s0
 
     def fwd(i, s_prev):
+        i = jnp.asarray(i, jnp.int32)
         Li = _read(Lp_ref, i)
         # rows: y = b - s_prev L^T
         yi = _read(b_ref, i) - _hi_dot_nt(s_prev, Li)
@@ -165,11 +206,13 @@ def _solve_kernel(chol_ref, Lp_ref, b_ref, x_ref):
         _write(x_ref, i, si)
         return si
 
-    s_last = lax.fori_loop(1, c, fwd, s0)
+    s_last = lax.fori_loop(jnp.int32(1), jnp.int32(c), fwd, s0)
 
     # backward: x_i = solved_i - C_i^-1 L_i^T x_{i+1}
     def bwd(jj, x_next):
-        i = c - 2 - jj
+        # keep index arithmetic in i32: python ints promote to i64 under
+        # jax_enable_x64 and Mosaic rejects mixed-width arith
+        i = jnp.asarray(c - 2, jnp.int32) - jj
         Lip1 = _read(Lp_ref, i + 1)  # = L[i]
         # rows: (L^T x)^T = x_next L
         rhs = jax.lax.dot_general(
@@ -184,7 +227,7 @@ def _solve_kernel(chol_ref, Lp_ref, b_ref, x_ref):
         _write(x_ref, i, xi)
         return xi
 
-    lax.fori_loop(0, c - 1, bwd, s_last)
+    lax.fori_loop(jnp.int32(0), jnp.int32(c - 1), bwd, s_last)
 
 
 def _default_interpret() -> bool:
