@@ -262,6 +262,46 @@ def batched_solve_chunked(
     return jax.tree_util.tree_map(lambda a: a[:B], full)
 
 
+def multistart_solve(
+    problem: Problem,
+    settings: Settings,
+    x0: Array,
+    num_starts: int = 8,
+    radius: float = 0.5,
+    seed: int = 0,
+    max_iterations: int = 1000,
+) -> SolverState:
+    """Batched multistart: solve from ``num_starts`` jittered copies of
+    ``x0`` (clipped to the variable box) in one vmapped program and
+    return the best lane — lowest objective among OPTIMAL lanes, or the
+    lowest-violation lane if none converged.
+
+    A local SQP method converges to the nearest KKT point (e.g. hs33's
+    alternate local minimum, PARITY.md §7); multistart is the standard
+    escape, and on an accelerator the extra starts ride the same batch
+    dimension the instance-batching path already uses (vmap of
+    solve_jit) — num_starts solves cost roughly one solve of wall time.
+    Reference: no equivalent (single-start driver, solve.c:95).
+    """
+    n = problem.num_variables
+    key = jax.random.PRNGKey(seed)
+    jitter = radius * jax.random.uniform(
+        key, (num_starts, n), minval=-1.0, maxval=1.0, dtype=x0.dtype
+    )
+    starts = jnp.concatenate(
+        [x0[None, :], x0[None, :] + jitter[1:]], axis=0
+    )
+    starts = jax.vmap(problem.clip_to_bounds)(starts)
+    out = batched_solve(problem, settings, starts, max_iterations)
+    ok = out.status == Status.OPTIMAL
+    # best = argmin objective among converged lanes; else min violation
+    obj = jnp.where(ok, out.it.obj_val, jnp.inf)
+    best_ok = jnp.argmin(obj)
+    best_fallback = jnp.argmin(out.feas_res)
+    idx = jnp.where(jnp.any(ok), best_ok, best_fallback)
+    return jax.tree_util.tree_map(lambda a: a[idx], out)
+
+
 def sharded_solve(
     problem: Problem,
     settings: Settings,

@@ -73,3 +73,31 @@ def test_residuals_reported():
     state = solve(problem, SETTINGS, x0, max_iterations=100)
     assert float(state.stat_res) < 1e-6
     assert int(state.num_accepted) > 0
+
+
+def test_multistart_escapes_hs33_basin():
+    """hs33 converges to the alternate local minimum f = -4 from the
+    standard start (PARITY.md §7 won't-fix for the single-start
+    solver); the batched multistart driver must recover the global
+    f = -4.586 by riding the vmap batch dimension."""
+    import numpy as np
+
+    from sleqp_tpu import Settings, Status
+    from sleqp_tpu.harness.driver import get_problem
+    from sleqp_tpu.parallel.batch import multistart_solve
+
+    problem, x0, f_opt = get_problem("hs33")
+    out = multistart_solve(
+        problem,
+        Settings(),
+        x0,
+        num_starts=8,
+        radius=2.0,
+        seed=0,
+        max_iterations=200,
+    )
+    assert int(out.status) == Status.OPTIMAL
+    assert abs(float(out.it.obj_val) - f_opt) <= 1e-4 * (1 + abs(f_opt)), (
+        float(out.it.obj_val),
+        f_opt,
+    )
