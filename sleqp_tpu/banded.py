@@ -53,7 +53,6 @@ from .ops.block_tridiag import block_tridiag_solve
 from .settings import Settings
 from .types import (
     INF_THRESHOLD,
-    BaseStat,
     HessEval,
     SolverPhase,
     Status,

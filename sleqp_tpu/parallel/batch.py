@@ -15,7 +15,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..problem import Problem
 from ..problem_solver import (
