@@ -132,7 +132,7 @@ def _bench_fused(
     return dt, total_iters, solved
 
 
-def _bench_stepped(device, settings) -> tuple[float, int, int]:
+def _bench_stepped(device, settings, batch: int = BATCH) -> tuple[float, int, int]:
     """Per-iteration stepping fallback (smaller XLA programs)."""
     import jax
 
@@ -141,7 +141,7 @@ def _bench_stepped(device, settings) -> tuple[float, int, int]:
 
     problem, x0 = _make_problem()
     with jax.default_device(device):
-        x0b = _x0_batch(x0, BATCH)
+        x0b = _x0_batch(x0, batch)
         state = batched_initial_state(problem, settings, x0b)
         step = jax.jit(lambda s: batched_step(problem, settings, s))
         state = step(state)  # compile
@@ -164,7 +164,10 @@ def _run_on(device, settings, mp: bool = False, batch: int = BATCH):
         )
     except Exception as exc:  # remote-compile hiccups etc.
         print(f"# fused path failed on {device}: {exc}", file=sys.stderr)
-        return _bench_stepped(device, settings), "stepped"
+        # fall back at the SAME batch so the solves_per_s_b{batch} key
+        # stays truthful; the mode tag records the fallback (f64 stepped
+        # loop — the mp fused program is what failed)
+        return _bench_stepped(device, settings, batch=batch), "stepped-f64"
 
 
 def _discover_devices(timeout_s: int = 180):

@@ -69,6 +69,24 @@ class SuiteResult:
         return self.solved / max(self.total, 1)
 
 
+def _banded_slack_res(problem, st) -> float:
+    """Measured complementarity residual max |slack * lam| at the final
+    state (iterate.c:241 analogue).  The delta-form update can leave
+    nonzero duals on rows that have since left the working set, so the
+    residual is NOT structurally zero and must be measured."""
+    import jax.numpy as jnp
+
+    C = problem.cons(st.X)
+    lo_fin = jnp.isfinite(problem.cons_lb)
+    up_fin = jnp.isfinite(problem.cons_ub)
+    dist_lo = jnp.where(lo_fin, jnp.abs(C - problem.cons_lb), jnp.inf)
+    dist_up = jnp.where(up_fin, jnp.abs(problem.cons_ub - C), jnp.inf)
+    slack = jnp.minimum(dist_lo, dist_up)
+    # rows with no finite bound must carry zero dual; count |lam| itself
+    slack = jnp.where(lo_fin | up_fin, slack, 1.0)
+    return float(jnp.max(jnp.abs(slack * st.lam), initial=0.0))
+
+
 def _run_banded_problem(
     name: str,
     problem,
@@ -76,6 +94,7 @@ def _run_banded_problem(
     f_opt,
     settings: Optional[Settings],
     max_iterations: int,
+    time_limit: Optional[float] = None,
 ) -> tuple[str, bool, bool]:
     """Large banded entries (harness/large.py) solve through the
     structured path (banded.py) but emit the SAME CSV schema; the
@@ -84,6 +103,13 @@ def _run_banded_problem(
     loop on this path)."""
     from ..banded import banded_solve
 
+    if time_limit is not None:
+        raise ValueError(
+            "time_limit is not supported for banded suite entries: the "
+            "structured solve runs as one jitted while_loop (no host "
+            "checkpoints to test the clock at); bound work with "
+            "max_iterations instead"
+        )
     settings = settings or Settings()
     start = time.perf_counter()
     st = banded_solve(
@@ -102,7 +128,7 @@ def _run_banded_problem(
             _STATUS_NAMES.get(status, "unknown"),
             f"{float(st.obj_val):.10e}",
             f"{float(st.feas_res):.6e}",
-            f"{0.0:.6e}",  # slackness enforced by the working set
+            f"{_banded_slack_res(problem, st):.6e}",
             f"{float(st.stat_res):.6e}",
             str(int(st.iteration)),
             f"{seconds:.3f}",
@@ -131,7 +157,8 @@ def run_problem(
     problem, x0, f_opt = get_problem(name)
     if isinstance(problem, BandedProblem):
         return _run_banded_problem(
-            name, problem, x0, f_opt, settings, max_iterations
+            name, problem, x0, f_opt, settings, max_iterations,
+            time_limit=time_limit,
         )
     solver = Solver(problem, x0, settings)
     start = time.perf_counter()

@@ -274,6 +274,12 @@ def block_tridiag_solve_mp(
     solve-many split, fact_types.h:9-33)."""
     from .block_tridiag import block_thomas_factor, block_thomas_solve
 
+    known_backends = ("auto", "chol_pallas", "spike32", "scan32")
+    if backend not in known_backends:
+        raise ValueError(
+            f"unknown block_tridiag_solve_mp backend {backend!r}; "
+            f"expected one of {known_backends}"
+        )
     N, k, _ = D.shape
     b3, squeeze = _normalize_rhs(b)
     r = b3.shape[-1]
@@ -323,6 +329,9 @@ def block_tridiag_solve_mp(
 
         P = _spike_chunks(N)
         c = -(-(N + 1) // P)
+        # match spike_block_tridiag_solve: schur_factor needs >= 1
+        # interior block per chunk (c >= 2), so tiny N identity-pads up
+        c = max(c, 2)
         Np = P * c - 1
         pad = Np - N
         with jax.default_matmul_precision("float32"):

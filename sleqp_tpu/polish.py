@@ -32,8 +32,10 @@ def _polish_zero_dual(states: Array, dual: Array) -> Array:
 def _polish_inactive(
     states: Array, value: Array, lb: Array, ub: Array, eps: float
 ) -> Array:
-    at_lower = jnp.abs(value - lb) <= eps * (1.0 + jnp.abs(lb))
-    at_upper = jnp.abs(value - ub) <= eps * (1.0 + jnp.abs(ub))
+    # Guard against infinite bounds: |value - (-inf)| <= eps*(1+inf) would
+    # evaluate inf <= inf == True and wrongly keep the entry active.
+    at_lower = jnp.isfinite(lb) & (jnp.abs(value - lb) <= eps * (1.0 + jnp.abs(lb)))
+    at_upper = jnp.isfinite(ub) & (jnp.abs(value - ub) <= eps * (1.0 + jnp.abs(ub)))
     keep = jnp.where(
         states == ActiveState.ACTIVE_LOWER,
         at_lower,

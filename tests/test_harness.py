@@ -73,3 +73,44 @@ def test_medium_registry_complete():
     assert set(MEDIUM_PROBLEMS) <= set(ALL_PROBLEMS)
     assert set(LARGE_PROBLEMS) <= set(ALL_PROBLEMS)
     assert len(ALL_PROBLEMS) == 59 + 7 + 3
+
+
+def test_banded_slack_res_is_measured():
+    """The banded suite row reports a measured complementarity residual
+    (not a hardcoded 0.0) that is small at an optimal point (ADVICE r4)."""
+    import jax.numpy as jnp
+
+    from sleqp_tpu import Settings, Status
+    from sleqp_tpu.banded import BandedProblem, banded_solve
+    from sleqp_tpu.harness.driver import _banded_slack_res
+
+    N_b, k = 6, 2
+    tgt = jnp.arange(N_b, dtype=jnp.float64)
+
+    def obj(x, t):
+        return jnp.sum((x - tgt[t]) ** 2)
+
+    def cons(a, b, t):
+        return b - a
+
+    p = BandedProblem(
+        obj, N_b, k, cons_block=cons, cons_per_block=k,
+        var_lb=0.0, var_ub=3.0, cons_lb=-0.5, cons_ub=0.5,
+    )
+    st = banded_solve(p, Settings(), max_iterations=100)
+    assert int(st.status) == Status.OPTIMAL
+    slack = _banded_slack_res(p, st)
+    assert np.isfinite(slack)
+    assert slack <= 1e-6
+
+
+def test_banded_time_limit_rejected():
+    """time_limit has no host checkpoint on the jitted banded path; the
+    driver must reject it explicitly instead of silently ignoring it."""
+    import pytest
+
+    from sleqp_tpu.harness.driver import run_problem
+    from sleqp_tpu.harness.large import LARGE_PROBLEMS
+
+    with pytest.raises(ValueError, match="time_limit"):
+        run_problem(LARGE_PROBLEMS[0], time_limit=10.0)

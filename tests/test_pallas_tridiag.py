@@ -193,3 +193,24 @@ def test_batched_thomas_pallas_vs_xla():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(ref), atol=1e-5
         )
+
+
+def test_spike32_tiny_n_identity_pads():
+    """N=1 (single diagonal block) must not crash schur_factor: the
+    chunk size clamps to c >= 2 with identity padding (ADVICE r4)."""
+    for N, k in [(1, 3), (2, 2), (3, 4)]:
+        D, L, b = _random_spd_block_tridiag(max(N, 2), k, seed=N * 7 + k)
+        D, L, b = D[:N], L[: max(N - 1, 0)], b[:N]
+        x = block_tridiag_solve_mp(D, L, b, backend="spike32", interpret=True)
+        x_ref = block_tridiag_solve(D, L, b)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(x_ref), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_unknown_backend_rejected():
+    """Typos / wrong-namespace backend strings must raise, not silently
+    route into the scan32 path (ADVICE r4)."""
+    D, L, b = _random_spd_block_tridiag(5, 2, seed=3)
+    with pytest.raises(ValueError, match="unknown"):
+        block_tridiag_solve_mp(D, L, b, backend="spike")

@@ -153,3 +153,47 @@ def test_state_vec_queries():
         pass
     else:
         raise AssertionError("unknown state_vec name must raise KeyError")
+
+
+def test_polishing_inactive_guards_infinite_bounds():
+    """INACTIVE polishing with an infinite bound must drop the entry: the
+    unguarded |value - (-inf)| <= eps*(1+inf) comparison evaluates
+    inf <= inf == True and wrongly kept it active (VERDICT r4 weak #5)."""
+    import jax.numpy as jnp
+
+    from sleqp_tpu.iterate import Iterate
+    from sleqp_tpu.polish import polish_iterate
+    from sleqp_tpu.problem import ProblemData
+    from sleqp_tpu.types import ActiveState, Polishing
+
+    n = 3
+    data = ProblemData(
+        var_lb=jnp.array([-jnp.inf, 0.0, -jnp.inf]),
+        var_ub=jnp.array([jnp.inf, 2.0, jnp.inf]),
+        cons_lb=jnp.zeros((0,)),
+        cons_ub=jnp.zeros((0,)),
+        linear_coeffs=jnp.zeros((0, n)),
+    )
+    it = Iterate(
+        x=jnp.array([5.0, 0.0, -7.0]),
+        obj_val=jnp.asarray(0.0),
+        obj_grad=jnp.zeros((n,)),
+        cons_val=jnp.zeros((0,)),
+        cons_jac=jnp.zeros((0, n)),
+        cons_dual=jnp.zeros((0,)),
+        vars_dual=jnp.array([1.0, 1.0, -1.0]),
+        var_states=jnp.array(
+            [
+                ActiveState.ACTIVE_LOWER,  # lb = -inf: must be dropped
+                ActiveState.ACTIVE_LOWER,  # genuinely at lb = 0: kept
+                ActiveState.ACTIVE_UPPER,  # ub = +inf: must be dropped
+            ],
+            dtype=jnp.int8,
+        ),
+        cons_states=jnp.zeros((0,), dtype=jnp.int8),
+    )
+    out = polish_iterate(data, it, Polishing.INACTIVE)
+    states = np.asarray(out.var_states)
+    assert states[0] == ActiveState.INACTIVE
+    assert states[1] == ActiveState.ACTIVE_LOWER
+    assert states[2] == ActiveState.INACTIVE
