@@ -83,6 +83,18 @@ def __getattr__(name: str):
         from .solver import Solver as _Solver
 
         return _Solver
+    if name == "Scaling":
+        from .scale import Scaling as _Scaling
+
+        return _Scaling
+    if name == "ScaledProblem":
+        from .scale import ScaledProblem as _SP
+
+        return _SP
+    if name == "derive_scaling":
+        from .scale import derive_scaling as _ds
+
+        return _ds
     if name == "BlockStructuredProblem":
         from .ocp import BlockStructuredProblem as _BSP
 

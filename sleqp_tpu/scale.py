@@ -93,6 +93,20 @@ def _ldexp(x: Array, weights) -> Array:
     return jnp.ldexp(x, jnp.asarray(weights))
 
 
+def derive_scaling(problem: Problem, x) -> Scaling:
+    """Scaling weights derived from first derivatives at ``x`` so that
+    max |grad'| ~ 1 and max |J'_i| ~ 1 per row (scale.c:640-740,
+    sleqp_scaling_from_gradient / sleqp_scaling_from_cons_jac)."""
+    x = problem.clip_to_bounds(jnp.asarray(x, problem.dtype))
+    scaling = Scaling(problem.num_variables, problem.num_cons)
+    scaling.derive_obj_weight_from_grad(np.asarray(problem.obj_grad(x)))
+    if problem.num_cons:
+        scaling.derive_cons_weights_from_jac(
+            np.asarray(problem.cons_jac(x))
+        )
+    return scaling
+
+
 class ScaledProblem(Problem):
     """A Problem evaluating the scaled NLP over the original func."""
 

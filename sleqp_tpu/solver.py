@@ -106,11 +106,35 @@ class Solver:
         problem: Problem,
         x0,
         settings: Optional[Settings] = None,
+        scaling=None,
     ):
+        """``scaling`` composes power-of-two problem scaling into the
+        solver chain (reference solver.c:278 builds scaling ->
+        preprocessing -> problem_solver; the solution, duals and
+        objective are unscaled automatically on the way out,
+        solver/solve.c:270).  Accepts a ``scale.Scaling`` instance or
+        the string ``"auto"`` to derive weights from the derivatives at
+        ``x0`` (scale.c:640-740)."""
         self.original_problem = problem
         self.settings = settings if settings is not None else Settings()
         self._preprocessed = None
         self._restored_iterate = None
+        self._scaled_problem = None
+        if scaling is not None:
+            from .scale import ScaledProblem, derive_scaling
+
+            if isinstance(scaling, str):
+                if scaling != "auto":
+                    raise ValueError(
+                        f"unknown scaling mode {scaling!r}; expected a "
+                        "Scaling instance or 'auto'"
+                    )
+                scaling = derive_scaling(problem, x0)
+            scaled = ScaledProblem(problem, scaling)
+            x0 = scaled.scale_point(jnp.asarray(x0, problem.dtype))
+            problem = scaled
+            self._scaled_problem = scaled
+        self.scaling = scaling
         if self.settings.enable_preprocessor:
             from .preprocessor import PreprocessingResult, preprocess
 
@@ -445,25 +469,50 @@ class Solver:
 
     @property
     def _solution_iterate(self) -> Iterate:
+        """Solution in the (scaled) space the solver worked in, with any
+        preprocessor reduction already undone."""
         if self._restored_iterate is not None:
             return self._restored_iterate
         return self.state.it
 
     @property
+    def _original_iterate(self) -> Iterate:
+        """Solution mapped back to the *original* problem space: the
+        preprocessor restore (restore.c) composed with exact power-of-two
+        unscaling (solver/solve.c:270, problem_scaling.c)."""
+        it = self._solution_iterate
+        sp = self._scaled_problem
+        if sp is None:
+            return it
+        import dataclasses
+
+        from .iterate import create_iterate
+
+        x = sp.unscale_point(it.x)
+        out = create_iterate(self.original_problem, x)
+        return dataclasses.replace(
+            out,
+            cons_dual=sp.unscale_cons_dual(it.cons_dual),
+            vars_dual=sp.unscale_vars_dual(it.vars_dual),
+            var_states=it.var_states,
+            cons_states=it.cons_states,
+        )
+
+    @property
     def solution(self) -> np.ndarray:
-        return np.asarray(self._solution_iterate.x)
+        return np.asarray(self._original_iterate.x)
 
     @property
     def obj_val(self) -> float:
-        return float(self._solution_iterate.obj_val)
+        return float(self._original_iterate.obj_val)
 
     @property
     def cons_dual(self) -> np.ndarray:
-        return np.asarray(self._solution_iterate.cons_dual)
+        return np.asarray(self._original_iterate.cons_dual)
 
     @property
     def vars_dual(self) -> np.ndarray:
-        return np.asarray(self._solution_iterate.vars_dual)
+        return np.asarray(self._original_iterate.vars_dual)
 
     @property
     def iterations(self) -> int:
@@ -471,10 +520,62 @@ class Solver:
 
     @property
     def iterate(self) -> Iterate:
-        return self._solution_iterate
+        return self._original_iterate
 
-    def residuals(self) -> tuple[float, float, float]:
-        """(feasibility, slackness, stationarity) residua."""
+    def residuals(self, original: bool = False) -> tuple[float, float, float]:
+        """(feasibility, slackness, stationarity) residua.
+
+        By default these are the residua the solver converged on (in the
+        scaled space when scaling is active, matching the reference's
+        internal accounting); ``original=True`` re-evaluates them on the
+        unscaled iterate in the original problem space
+        (problem_scaling_test.c checks optimality there)."""
+        if original and self._scaled_problem is not None:
+            from .iterate import (
+                slack_residual_values,
+                stationarity_residuals,
+                violation_values,
+            )
+
+            it = self._original_iterate
+            data = self.original_problem.data
+            feas = float(
+                jnp.max(
+                    violation_values(it.cons_val, data.cons_lb, data.cons_ub),
+                    initial=0.0,
+                )
+            )
+            slack = max(
+                float(
+                    jnp.max(
+                        jnp.abs(
+                            slack_residual_values(
+                                it.cons_val,
+                                data.cons_lb,
+                                data.cons_ub,
+                                it.cons_dual,
+                            )
+                        ),
+                        initial=0.0,
+                    )
+                ),
+                float(
+                    jnp.max(
+                        jnp.abs(
+                            slack_residual_values(
+                                it.x, data.var_lb, data.var_ub, it.vars_dual
+                            )
+                        ),
+                        initial=0.0,
+                    )
+                ),
+            )
+            stat = float(
+                jnp.max(
+                    jnp.abs(stationarity_residuals(data, it)), initial=0.0
+                )
+            )
+            return feas, slack, stat
         s = self.state
         return (
             float(s.feas_res),

@@ -98,3 +98,70 @@ def test_derive_weights():
     sp = ScaledProblem(problem, scaling)
     g = np.asarray(sp.obj_grad(sp.scale_point(x0)))
     assert 0.25 <= np.max(np.abs(g)) <= 2.5
+
+
+def test_solver_chain_composes_scaling():
+    """Solver(problem, x0, scaling=...) mirrors the reference chain
+    scaling -> preprocessing -> problem_solver (solver.c:278) with
+    auto-unscaled solution, duals, objective and residuals
+    (solver/solve.c:270, problem_scaling_test.c)."""
+    from sleqp_tpu.solver import Solver
+
+    problem, x0, x_opt = hs71_problem()
+    f_opt = 17.0140172
+    scaling = Scaling(problem.num_variables, problem.num_cons)
+    scaling.obj_weight = 3
+    scaling.var_weights = np.array([1, -1, 2, 0], dtype=np.int32)
+    scaling.cons_weights = np.array([-2, 1], dtype=np.int32)
+
+    solver = Solver(problem, x0, scaling=scaling)
+    status = solver.solve(max_iterations=100)
+    assert status == Status.OPTIMAL
+
+    # solution/objective are reported in ORIGINAL space
+    assert abs(solver.obj_val - f_opt) <= 1e-5 * (1.0 + abs(f_opt))
+    x = solver.solution
+    np.testing.assert_allclose(x, x_opt, atol=1e-4)
+
+    # residuals checked in UNSCALED space (problem_scaling_test.c)
+    feas, slack, stat = solver.residuals(original=True)
+    assert feas <= 1e-6
+    assert slack <= 1e-6
+    assert stat <= 1e-5
+
+    # duals are unscaled: stationarity of the original Lagrangian holds
+    it = solver.iterate
+    g = np.asarray(problem.obj_grad(it.x))
+    J = np.asarray(problem.cons_jac(it.x))
+    r = g + J.T @ np.asarray(it.cons_dual) + np.asarray(it.vars_dual)
+    assert np.max(np.abs(r)) <= 1e-5
+
+
+def test_solver_chain_auto_scaling():
+    """scaling='auto' derives weights from derivatives at x0
+    (scale.c:640-740) and still converges on a badly scaled problem."""
+    from sleqp_tpu import Func, Problem
+    from sleqp_tpu.solver import Solver
+
+    # objective with a 2^12 scale mismatch between variables
+    def obj(x):
+        return 4096.0 * (x[0] - 1.0) ** 2 + (x[1] - 4096.0) ** 2 / 4096.0
+
+    def cons(x):
+        return jnp.array([4096.0 * x[0] + x[1] / 4096.0])
+
+    func = Func(obj, num_variables=2, cons=cons, num_cons=1)
+    problem = Problem(
+        func,
+        general_lb=jnp.array([4097.0]),
+        general_ub=jnp.array([jnp.inf]),
+    )
+    x0 = jnp.array([2.0, 2000.0])
+    solver = Solver(problem, x0, scaling="auto")
+    assert solver.scaling is not None
+    assert int(np.max(np.abs(solver.scaling.cons_weights))) > 0
+    status = solver.solve(max_iterations=200)
+    assert status == Status.OPTIMAL
+    feas, slack, stat = solver.residuals(original=True)
+    assert feas <= 1e-6 * 4097.0  # feasibility scale of the original row
+    assert stat <= 1e-4
