@@ -242,13 +242,45 @@ def _pad_sub(L: Array) -> Array:
     )
 
 
+# Mosaic's scoped-VMEM footprint for these kernels measures ~9-10x one
+# (pt, c, k, k) operand (loop carries + double buffering); keep the
+# per-grid-step estimate safely under the ~16 MB budget.
+_VMEM_BUDGET = 11 * 1024 * 1024
+_VMEM_OVERHEAD = 10
+
+
+def _chunk_tile(P: int, c: int, k: int, r: int = 0) -> int:
+    """Largest divisor tile pt of the chunk axis P whose estimated
+    scoped-VMEM footprint fits; chunks are independent, so the grid
+    iterates tiles sequentially with no cross-step state."""
+    blk = max(k, 8) * max(k, 128) * 4
+    rhs = max(r, 8) * max(k, 128) * 4 if r else 0
+    per_chunk = _VMEM_OVERHEAD * c * (blk + rhs)
+    pt = P
+    while pt > 1 and pt * per_chunk > _VMEM_BUDGET:
+        # P is not always a power of two; find the next smaller divisor
+        pt -= 1
+        while pt > 1 and P % pt:
+            pt -= 1
+    return max(pt, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _factor_call(D32, Lp32, interpret):
+    P, c, k, _ = D32.shape
+    pt = P if interpret else _chunk_tile(P, c, k)
+    # i * 0 keeps every index i32 (python 0 literals promote to i64
+    # under jax_enable_x64 and Mosaic rejects the mixed-width return)
+    spec = pl.BlockSpec(
+        (pt, c, k, k), lambda i: (i, i * 0, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
         _factor_kernel,
+        grid=(P // pt,),
         out_shape=jax.ShapeDtypeStruct(D32.shape, jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[spec] * 2,
+        out_specs=spec,
         input_output_aliases={0: 0},  # chol overwrites D in place
         interpret=interpret,
     )(D32, Lp32)
@@ -256,11 +288,23 @@ def _factor_call(D32, Lp32, interpret):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _solve_call(chols, Lp32, b32, interpret):
+    P, c, k, _ = chols.shape
+    r = b32.shape[2]
+    pt = P if interpret else _chunk_tile(P, c, k, r)
+    mat = pl.BlockSpec(
+        (pt, c, k, k), lambda i: (i, i * 0, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    vec = pl.BlockSpec(
+        (pt, c, r, k), lambda i: (i, i * 0, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
         _solve_kernel,
+        grid=(P // pt,),
         out_shape=jax.ShapeDtypeStruct(b32.shape, jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[mat, mat, vec],
+        out_specs=vec,
         input_output_aliases={2: 0},  # x overwrites b in place
         interpret=interpret,
     )(chols, Lp32, b32)
@@ -290,7 +334,15 @@ def batched_thomas_solve_pallas(chols, Lp32, B, *, interpret=None):
     if squeeze:
         B32 = B32[..., None]
     Bt = jnp.swapaxes(B32, 2, 3)  # (P, c, r, k)
-    xt = _solve_call(chols, Lp32, Bt, interpret)
+    # Mosaic (as of the 2026-08 toolchain) miscompiles the lane
+    # reduction (P, 1, k) -> (P, 1) in the substitution sweeps
+    # (vector.multi_reduction internal error); r >= 8 (a full sublane
+    # tile) compiles and runs correctly, so pad thin rhs batches up
+    r = Bt.shape[2]
+    if not interpret and r < 8:
+        pad = jnp.zeros(Bt.shape[:2] + (8 - r, Bt.shape[3]), jnp.float32)
+        Bt = jnp.concatenate([Bt, pad], axis=2)
+    xt = _solve_call(chols, Lp32, Bt, interpret)[:, :, :r]
     x = jnp.swapaxes(xt, 2, 3)
     return x[..., 0] if squeeze else x
 

@@ -43,27 +43,60 @@ from .block_tridiag import block_tridiag_solve
 
 Array = jax.Array
 
-# Gauss-Jordan is unrolled k times inside the kernel; beyond this size the
-# scan path's batched Cholesky is the better algorithm anyway.
-MAX_PALLAS_BLOCK = 32
+# The in-kernel Gauss-Jordan runs k pivot iterations; beyond this size
+# the scan path's per-step Cholesky becomes competitive.
+MAX_PALLAS_BLOCK = 64
 # Conservative VMEM budget for the resident blocks (bytes).
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
+def _hdot(a, b):
+    return lax.dot_general(
+        a,
+        b,
+        (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _gj_inverse(C: Array) -> Array:
-    """Gauss-Jordan inverse of a small SPD block (static k, unrolled).
+    """Gauss-Jordan inverse of a small SPD block via one-hot matmul
+    row/column extraction (fori over k pivots).
 
     No pivoting: the Thomas recursion keeps the Schur-complemented diagonal
     blocks SPD, so diagonal pivots are safe.
-    """
+
+    Mosaic constraints shaped this formulation (2026-08 toolchain):
+    ``A.at[j].set`` lowers to an unsupported scatter, in-kernel
+    ``concatenate`` + lane-slicing SIGABRTs the backend compiler, and
+    scalar reads like ``A[j, j]`` are fragile — so the [C | I] tableau is
+    kept as two separate (k, k) halves and every extraction is a dot
+    with a one-hot vector (MXU-friendly, compiles clean)."""
     k = C.shape[0]
-    A = jnp.concatenate([C, jnp.eye(k, dtype=C.dtype)], axis=1)  # (k, 2k)
-    for j in range(k):
-        row = A[j] / A[j, j]
-        col = A[:, j]
-        A = A - col[:, None] * row[None, :]
-        A = A.at[j].set(row)
-    return A[:, k:]
+    rows = lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
+    def body(j, carry):
+        A, B = carry
+        oh = jnp.where(rows == j, jnp.float32(1), jnp.float32(0))  # (k,1)
+        rowA = _hdot(oh.T, A)  # (1,k) row j of A
+        rowB = _hdot(oh.T, B)
+        colj = _hdot(A, oh)  # (k,1) col j of A
+        piv = _hdot(oh.T, colj)  # (1,1)
+        rA = rowA / piv
+        rB = rowB / piv
+        f = colj - oh
+        return A - _hdot(f, rA), B - _hdot(f, rB)
+
+    eye = jnp.where(
+        rows == lax.broadcasted_iota(jnp.int32, (1, k), 1),
+        jnp.float32(1),
+        jnp.float32(0),
+    )
+    _, B = lax.fori_loop(
+        jnp.int32(0), jnp.int32(k), body, (C.astype(jnp.float32), eye)
+    )
+    return B
 
 
 def _read(ref, i):
@@ -79,67 +112,70 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _factor_solve_kernel(D_ref, Lp_ref, b_ref, x_ref, minv_ref):
-    """Factor + solve in one VMEM-resident pass.
+def _fwd_stream_kernel(
+    D_ref, Lp_ref, b_ref, x_ref, minv_ref, carry_M, carry_y, *, factor
+):
+    """Streaming forward sweep over one tile of ``nt`` blocks.
 
-    D: (N,k,k) diagonal blocks; Lp: (N,k,k) with Lp[i] = L[i-1], Lp[0]=0;
-    b: (N,k,r).  Outputs x (N,k,r) and the block inverses minv (N,k,k).
+    Grid iterates tiles front-to-back; the (M_prev, y_prev) recursion
+    state lives in VMEM scratch, which persists across grid steps.  With
+    ``factor=True`` this is the factorization + forward substitution
+    (C_i = D_i - L_{i-1} M_{i-1} L_{i-1}^T, M_i = C_i^{-1},
+    y_i = M_i (b_i - L_{i-1} y_{i-1})); with ``factor=False`` D_ref
+    carries the stored inverses and only the substitution runs.
     """
-    N = D_ref.shape[0]
+    nt = b_ref.shape[0]
+    t = pl.program_id(0)
 
-    # forward: C_i = D_i - L_{i-1} M_{i-1} L_{i-1}^T ;  M_i = C_i^{-1}
-    #          y_i = M_i (b_i - L_{i-1} y_{i-1})
-    M0 = _gj_inverse(D_ref[0])
-    y0 = _dot(M0, b_ref[0])
-    minv_ref[0] = M0
-    x_ref[0] = y0
+    # No first-block branch: Lp[0] = 0 globally, so the coupling through
+    # the carry vanishes for block 0 on its own — the t==0 init only has
+    # to make the (otherwise uninitialized) scratch finite.
+    @pl.when(t == 0)
+    def _init():
+        carry_M[:, :] = jnp.zeros_like(carry_M)
+        carry_y[:, :] = jnp.zeros_like(carry_y)
 
-    def fwd(i, carry):
-        M_prev, y_prev = carry
+    def body(i, _):
         Li = _read(Lp_ref, i)
-        Ci = _read(D_ref, i) - _dot(Li, _dot(M_prev, Li.T))
-        Mi = _gj_inverse(Ci)
-        yi = _dot(Mi, _read(b_ref, i) - _dot(Li, y_prev))
-        _write(minv_ref, i, Mi)
+        if factor:
+            Ci = _read(D_ref, i) - _dot(Li, _dot(carry_M[:, :], Li.T))
+            Mi = _gj_inverse(Ci)
+            _write(minv_ref, i, Mi)
+            carry_M[:, :] = Mi
+        else:
+            Mi = _read(D_ref, i)  # stored inverse
+        yi = _dot(Mi, _read(b_ref, i) - _dot(Li, carry_y[:, :]))
         _write(x_ref, i, yi)
-        return Mi, yi
+        carry_y[:, :] = yi
+        return _
 
-    lax.fori_loop(1, N, fwd, (M0, y0))
+    lax.fori_loop(jnp.int32(0), jnp.int32(nt), body, jnp.int32(0))
 
-    # backward: x_i = y_i - M_i L_i^T x_{i+1}
-    def bwd(j, x_next):
-        i = N - 2 - j
-        Lip1 = _read(Lp_ref, i + 1)  # = L[i]
-        xi = _read(x_ref, i) - _dot(_read(minv_ref, i), _dot(Lip1.T, x_next))
+
+def _bwd_stream_kernel(minv_ref, Ls_ref, y_ref, x_ref, carry_x):
+    """Streaming backward sweep; the grid index_map iterates tiles
+    back-to-front.  x_i = y_i - M_i L_i^T x_{i+1} with Ls[i] = L[i]
+    (the coupling to block i+1; Ls[N-1] = 0)."""
+    nt = y_ref.shape[0]
+    t = pl.program_id(0)  # 0 = globally LAST tile (reversed index_map)
+
+    # No last-block branch: Ls[N-1] = 0 globally, so x_last = y_last
+    # falls out of the recursion with any finite carry.
+    @pl.when(t == 0)
+    def _init():
+        carry_x[:, :] = jnp.zeros_like(carry_x)
+
+    def body(j, _):
+        i = jnp.asarray(nt - 1, jnp.int32) - j
+        Li = _read(Ls_ref, i)
+        xi = _read(y_ref, i) - _dot(
+            _read(minv_ref, i), _dot(Li.T, carry_x[:, :])
+        )
         _write(x_ref, i, xi)
-        return xi
+        carry_x[:, :] = xi
+        return _
 
-    lax.fori_loop(0, N - 1, bwd, x_ref[N - 1])
-
-
-def _resolve_kernel(minv_ref, Lp_ref, b_ref, x_ref):
-    """Substitution sweeps only, reusing stored block inverses."""
-    N = minv_ref.shape[0]
-
-    y0 = _dot(minv_ref[0], b_ref[0])
-    x_ref[0] = y0
-
-    def fwd(i, y_prev):
-        Li = _read(Lp_ref, i)
-        yi = _dot(_read(minv_ref, i), _read(b_ref, i) - _dot(Li, y_prev))
-        _write(x_ref, i, yi)
-        return yi
-
-    lax.fori_loop(1, N, fwd, y0)
-
-    def bwd(j, x_next):
-        i = N - 2 - j
-        Lip1 = _read(Lp_ref, i + 1)
-        xi = _read(x_ref, i) - _dot(_read(minv_ref, i), _dot(Lip1.T, x_next))
-        _write(x_ref, i, xi)
-        return xi
-
-    lax.fori_loop(0, N - 1, bwd, x_ref[N - 1])
+    lax.fori_loop(jnp.int32(0), jnp.int32(nt), body, jnp.int32(0))
 
 
 def _default_interpret() -> bool:
@@ -155,16 +191,22 @@ def _spike_chunks(N: int) -> int:
     return max(2, min(p, 64))
 
 
-def _vmem_bytes(N: int, k: int, r: int) -> int:
-    def tile(rows, cols):
-        return max(rows, 8) * max(cols, 128) * 4
+def _tile_bytes(rows: int, cols: int) -> int:
+    return max(rows, 8) * max(cols, 128) * 4
 
-    # D, Lp, minv, b, x resident simultaneously
-    return N * (3 * tile(k, k) + 2 * tile(k, r))
+
+def _stream_tile(N: int, k: int, r: int) -> int:
+    """Blocks per grid step: the streaming kernels hold D/Lp/b/x/minv
+    tiles (plus pipeline double-buffering and loop temps, budgeted 3x)
+    in VMEM while the recursion carry lives in scratch."""
+    per_block = 3 * _tile_bytes(k, k) + 2 * _tile_bytes(k, r)
+    return max(1, min(N, VMEM_BUDGET // (3 * per_block)))
 
 
 def pallas_supported(N: int, k: int, r: int = 1) -> bool:
-    return k <= MAX_PALLAS_BLOCK and _vmem_bytes(N, k, r) <= VMEM_BUDGET
+    """The streaming grid removes the resident-N cap; only the block
+    size (GJ loop length) and a per-tile feasibility check remain."""
+    return k <= MAX_PALLAS_BLOCK and _stream_tile(N, k, r) >= 1
 
 
 def _normalize_rhs(b: Array):
@@ -178,36 +220,93 @@ def _pad_sub(L: Array, N: int, k: int, dtype) -> Array:
     return Lp.at[1:].set(L.astype(dtype))
 
 
+def _pad_blocks(A, Np, fill_eye=False):
+    """Pad the leading block axis to Np (identity diagonals keep padded
+    trailing blocks exact no-ops in the Thomas recursion)."""
+    N, k = A.shape[0], A.shape[1]
+    if Np == N:
+        return A
+    if fill_eye:
+        pad = jnp.broadcast_to(jnp.eye(k, dtype=A.dtype), (Np - N, k, k))
+    else:
+        pad = jnp.zeros((Np - N,) + A.shape[1:], A.dtype)
+    return jnp.concatenate([A, pad], axis=0)
+
+
+def _fwd_bwd_sweeps(D_or_Minv, Lp32, b32, interpret, factor):
+    """Run both streaming sweeps (forward factor/substitute + backward
+    substitute) over padded tiles; returns (x, minv) at padded size."""
+    N, k, _ = D_or_Minv.shape
+    r = b32.shape[-1]
+    nt = N if interpret else _stream_tile(N, k, r)
+    T = -(-N // nt)
+    Np = T * nt
+    Dp = _pad_blocks(D_or_Minv, Np, fill_eye=True)
+    Lpp = _pad_blocks(Lp32, Np)
+    bp = _pad_blocks(b32, Np)
+
+    mat = pl.BlockSpec(
+        (nt, k, k), lambda i: (i, i * 0, i * 0), memory_space=pltpu.VMEM
+    )
+    vec = pl.BlockSpec(
+        (nt, k, r), lambda i: (i, i * 0, i * 0), memory_space=pltpu.VMEM
+    )
+    scratch = [
+        pltpu.VMEM((k, k), jnp.float32),
+        pltpu.VMEM((k, r), jnp.float32),
+    ]
+    y, minv = pl.pallas_call(
+        functools.partial(_fwd_stream_kernel, factor=factor),
+        grid=(T,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, k, r), jnp.float32),
+            jax.ShapeDtypeStruct((Np, k, k), jnp.float32),
+        ),
+        in_specs=[mat, mat, vec],
+        out_specs=(vec, mat),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(Dp, Lpp, bp)
+    if not factor:
+        minv = Dp  # inputs were already the stored inverses
+
+    # Ls[i] = L[i] (coupling of block i to i+1); Ls[Np-1] = 0
+    Ls = jnp.concatenate(
+        [Lpp[1:], jnp.zeros((1, k, k), jnp.float32)], axis=0
+    )
+    rev = pl.BlockSpec(
+        (nt, k, k),
+        lambda i: (jnp.int32(T - 1) - i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    rev_v = pl.BlockSpec(
+        (nt, k, r),
+        lambda i: (jnp.int32(T - 1) - i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    x = pl.pallas_call(
+        _bwd_stream_kernel,
+        grid=(T,),
+        out_shape=jax.ShapeDtypeStruct((Np, k, r), jnp.float32),
+        in_specs=[rev, rev, rev_v],
+        out_specs=rev_v,
+        input_output_aliases={2: 0},
+        scratch_shapes=[pltpu.VMEM((k, r), jnp.float32)],
+        interpret=interpret,
+    )(minv, Ls, y)
+    return x[:N], minv[:N]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _factor_solve_call(D32, Lp32, b32, interpret):
-    N, k, _ = D32.shape
-    r = b32.shape[-1]
-    return pl.pallas_call(
-        _factor_solve_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((N, k, r), jnp.float32),
-            jax.ShapeDtypeStruct((N, k, k), jnp.float32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(D32, Lp32, b32)
+    x, minv = _fwd_bwd_sweeps(D32, Lp32, b32, interpret, factor=True)
+    return x, minv
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _resolve_call(Minv, Lp32, b32, interpret):
-    N, k, _ = Minv.shape
-    r = b32.shape[-1]
-    return pl.pallas_call(
-        _resolve_kernel,
-        out_shape=jax.ShapeDtypeStruct((N, k, r), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(Minv, Lp32, b32)
+    x, _ = _fwd_bwd_sweeps(Minv, Lp32, b32, interpret, factor=False)
+    return x
 
 
 def block_tridiag_factor_solve_pallas(D, L, b, *, interpret=None):
