@@ -119,10 +119,12 @@ def test_ocp_pallas_backend_matches_scan():
 
 
 def test_fallback_when_unsupported():
-    # k beyond the unroll limit falls back to the scan path in full dtype
-    N, k = 4, 40
+    # k beyond the GJ pivot-loop limit falls back to the scan path; the
+    # streaming grid removed the old resident-N cap (large N supported)
+    N, k = 4, 96
     D, L, b = _random_spd_block_tridiag(N, k, seed=9)
     assert not pallas_supported(N, k)
+    assert pallas_supported(4096, 32)
     x = block_tridiag_solve_mp(D, L, b, interpret=True)
     x_ref = block_tridiag_solve(D, L, b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-12)
