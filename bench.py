@@ -287,9 +287,15 @@ def _kkt_diagnostics(device, mixed: bool = False) -> dict:
             L = jnp.asarray(rng.standard_normal((N - 1, k, k)) * 0.1)
             b = jnp.asarray(rng.standard_normal((N, k)))
             if mixed:
+                # cr32 = the production auto backend for well-conditioned
+                # block-tridiagonal KKT systems (OCP dual Schur, this
+                # config): f32 block cyclic reduction + f64 refinement.
+                # banded.py's delta-form KKT stays on scan32 (inverse-form
+                # levels diverge at its conditioning) and is measured by
+                # its own end-to-end entry.
                 fn = jax.jit(
                     lambda D, L, b: block_tridiag_solve_mp(
-                        D, L, b, refine_iters=3, backend="scan32"
+                        D, L, b, refine_iters=3, backend="cr32"
                     )
                 )
             else:
@@ -316,7 +322,7 @@ def _kkt_diagnostics(device, mixed: bool = False) -> dict:
             dt = (time.perf_counter() - t0) / reps
             # nominal ~ (14/3) k^3 per block factor+solve
             gflops = (14.0 / 3.0) * N * k**3 / dt / 1e9
-            mode = "mp-scan32" if mixed else "f64-scan"
+            mode = "mp-cr32" if mixed else "f64-scan"
             print(
                 f"# kkt block-tridiag [{mode}] n={N * k}: "
                 f"{1e3 * dt:.2f} ms/solve, {gflops:.1f} GFLOP/s "

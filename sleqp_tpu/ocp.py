@@ -402,17 +402,37 @@ def _structured_kkt_core(
     gm = g * free
     Gm = G * free[:T, None, :]  # zero frozen columns
 
-    chols = jax.vmap(lambda A: cho_factor(A, lower=True)[0])(Hm)
-    solve = jax.vmap(lambda Lc, B: cho_solve((Lc, True), B))
-    hg = solve(chols, gm[:, :, None])[:, :, 0]  # (T+1, nz) = H^-1 g
-    M = solve(chols[:T], jnp.swapaxes(Gm, 1, 2))  # (T, nz, nx) = H^-1 G^T
+    # float32 path: one batched Gauss-Jordan pallas kernel computes all
+    # stage-Hessian inverses (XLA's batched Cholesky on (T+1, nz, nz)
+    # measured ~11 ms at T=1560/nz=64 vs ~8 ms for the kernel, and the
+    # downstream "solves" collapse into einsums).  f64 keeps Cholesky
+    # (Mosaic is f32-only; TPU emulates f64 elementwise anyway).
+    use_bgj = dtype == jnp.float32 and tridiag_backend in ("auto", "cr")
+    if use_bgj:
+        from .ops.cyclic_reduction import batched_gj_inverse
+
+        Hinv = batched_gj_inverse(Hm)
+
+        def solve_with(idx, B):
+            return jnp.einsum("tij,tjk->tik", Hinv[idx], B)
+
+    else:
+        chols = jax.vmap(lambda A: cho_factor(A, lower=True)[0])(Hm)
+
+        def solve_with(idx, B):
+            return jax.vmap(lambda Lc, bb: cho_solve((Lc, True), bb))(
+                chols[idx], B
+            )
+
+    hg = solve_with(slice(None), gm[:, :, None])[:, :, 0]  # H^-1 g
+    M = solve_with(slice(None, T), jnp.swapaxes(Gm, 1, 2))  # H^-1 G^T
     # masked state selector: J row t applies -P_t to block t+1, with the
     # columns of *frozen* (bound-active) state coordinates zeroed — the
     # working-set QP moves only free variables (same treatment as G)
     free_x = free[1:, :nx]  # (T, nx)
     Pt = jnp.zeros((nz, nx), dtype).at[:nx, :].set(jnp.eye(nx, dtype=dtype))
     Pm = Pt[None, :, :] * free_x[:, None, :]  # (T, nz, nx) = P_f^T per stage
-    Xx = solve(chols[1:], Pm)  # H_{t+1}^-1 P_f^T
+    Xx = solve_with(slice(1, None), Pm)  # H_{t+1}^-1 P_f^T
 
     # S_tt = G_t H_t^-1 G_t^T + P_f H_{t+1}^-1 P_f^T
     S_diag = jnp.einsum("tij,tjk->tik", Gm, M) + Xx[:, :nx, :] * free_x[:, :, None]
@@ -422,7 +442,20 @@ def _structured_kkt_core(
     rhs = c - (jnp.einsum("tij,tj->ti", Gm, hg[:T]) - hg[1:, :nx] * free_x)
 
     if mesh is None:
-        if tridiag_backend == "pallas":
+        if use_bgj:
+            # f32 block cyclic reduction: O(log T) levels of batched
+            # pallas inverses + MXU einsums (measured 23 ms -> single-
+            # digit ms for the 1560-step f32 scan this replaces); one
+            # f32 self-refinement restores backward-stable-level
+            # residuals over the explicit-inverse levels
+            from .ops.cyclic_reduction import cr_factor, cr_resolve
+            from .ops.pallas_tridiag import block_tridiag_matvec
+
+            fact = cr_factor(S_diag, S_sub)
+            lam = cr_resolve(fact, rhs)
+            resid = rhs - block_tridiag_matvec(S_diag, S_sub, lam)
+            lam = lam + cr_resolve(fact, resid)
+        elif tridiag_backend == "pallas":
             # fused VMEM-resident Pallas Thomas kernel (float32) with
             # iterative refinement back to the problem dtype
             lam = block_tridiag_solve_mp(S_diag, S_sub, rhs)
@@ -455,7 +488,7 @@ def _structured_kkt_core(
     jtl = jnp.zeros((T + 1, nz), dtype)
     jtl = jtl.at[:T].add(jnp.einsum("tij,ti->tj", Gm, lam))
     jtl = jtl.at[1:, :nx].add(-lam * free_x)
-    d = -solve(chols, ((gm + jtl))[:, :, None])[:, :, 0]
+    d = -solve_with(slice(None), ((gm + jtl))[:, :, None])[:, :, 0]
     return d, lam
 
 

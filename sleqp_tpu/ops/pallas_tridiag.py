@@ -351,15 +351,19 @@ def block_tridiag_solve_mp(
     """Mixed-precision solve: float32 factorization + iterative refinement
     in the input dtype.
 
-    ``backend="auto"`` factors through the fused VMEM-resident Pallas
-    kernel when the block size fits (k <= MAX_PALLAS_BLOCK and the VMEM
-    budget holds) and through the float32 ``lax.scan`` block-Thomas path
-    otherwise.  ``backend="scan32"`` forces the scan path: the Pallas
-    kernel's explicit-inverse Thomas recursion amplifies rounding when
-    the off-diagonal blocks are much larger than the smallest diagonal
-    eigenvalues (e.g. the (1/delta)-scaled J^T J coupling of the
-    condensed banded KKT system) — the Cholesky-solve scan is backward
-    stable per step and refines where the inverse form diverges.
+    ``backend="auto"`` routes to float32 block cyclic reduction
+    (``"cr32"``, ops/cyclic_reduction.py — O(log N) levels of batched
+    pallas inverses, the fastest measured backend for well-conditioned
+    systems) when the block size fits, else the float32 scan.
+    ``backend="pallas"`` behavior (the streaming fused Thomas kernel) is
+    reachable through block_tridiag_factor_solve_pallas directly.
+    ``backend="scan32"`` forces the scan path: the explicit-inverse
+    recursions (cr32 and the fused Thomas kernel alike) amplify rounding
+    when the off-diagonal blocks are much larger than the smallest
+    diagonal eigenvalues (e.g. the (1/delta)-scaled J^T J coupling of
+    the condensed banded KKT system) — the Cholesky-solve scan is
+    backward stable per step and refines where the inverse forms
+    diverge.
     ``backend="spike32"`` runs the float32 SPIKE decomposition
     (block_tridiag.schur_factor/schur_resolve): interior chunks factor
     and substitute in parallel (vmapped batched Cholesky — MXU-friendly)
@@ -373,7 +377,7 @@ def block_tridiag_solve_mp(
     solve-many split, fact_types.h:9-33)."""
     from .block_tridiag import block_thomas_factor, block_thomas_solve
 
-    known_backends = ("auto", "chol_pallas", "spike32", "scan32")
+    known_backends = ("auto", "chol_pallas", "spike32", "scan32", "cr32")
     if backend not in known_backends:
         raise ValueError(
             f"unknown block_tridiag_solve_mp backend {backend!r}; "
@@ -388,16 +392,21 @@ def block_tridiag_solve_mp(
         x = block_tridiag_solve(D, L, b3)
         return x[..., 0] if squeeze else x
 
-    if backend == "auto" and pallas_supported(N, k, r):
-        x32, Minv, Lp32 = block_tridiag_factor_solve_pallas(
-            D, L, b3, interpret=interpret
-        )
+    if backend == "auto" and k <= MAX_PALLAS_BLOCK:
+        backend = "cr32"
+
+    if backend == "cr32":
+        # f32 block cyclic reduction: O(log N) levels of batched pallas
+        # inverses + MXU einsums; no O(N) sequential chain at all
+        from .cyclic_reduction import cr_factor, cr_resolve
+
+        it = _default_interpret() if interpret is None else interpret
+        fact = cr_factor(D, L, interpret=it)
 
         def resolve(rhs):
-            return block_tridiag_resolve_pallas(
-                Minv, Lp32, rhs, interpret=interpret
-            )
+            return cr_resolve(fact, rhs)
 
+        x32 = resolve(b3)
     elif backend == "chol_pallas":
         # hand-rolled Cholesky block-Thomas pallas kernels
         # (ops/pallas_chol_tridiag.py): XLA's batched Cholesky /

@@ -216,3 +216,57 @@ def test_unknown_backend_rejected():
     D, L, b = _random_spd_block_tridiag(5, 2, seed=3)
     with pytest.raises(ValueError, match="unknown"):
         block_tridiag_solve_mp(D, L, b, backend="spike")
+
+
+def test_cyclic_reduction_matches_scan():
+    """Pure CR and the CR+streaming-tail hybrid agree with the f64 scan
+    on well-conditioned systems at f32 accuracy."""
+    from sleqp_tpu.ops.cyclic_reduction import cr_factor, cr_resolve
+
+    for N, k, tail in [(3, 2, 1), (12, 4, 1), (37, 8, 1), (50, 8, 16)]:
+        D, L, b = _random_spd_block_tridiag(max(N, 2), k, seed=N + k)
+        D, L, b = D[:N], L[: max(N - 1, 0)], b[:N]
+        fact = cr_factor(D, L, interpret=True, tail_n=tail)
+        x = cr_resolve(fact, b)
+        ref = block_tridiag_solve(D, L, b)
+        rel = float(
+            jnp.max(jnp.abs(x - ref.astype(jnp.float32)))
+            / jnp.max(jnp.abs(ref))
+        )
+        assert rel < 5e-6, (N, k, tail, rel)
+        # multi-rhs resolve against the stored factorization
+        rng = np.random.default_rng(1)
+        B2 = jnp.asarray(rng.standard_normal((N, k, 3)), jnp.float32)
+        x2 = cr_resolve(fact, B2)
+        ref2 = block_tridiag_solve(D, L, B2.astype(jnp.float64))
+        rel2 = float(
+            jnp.max(jnp.abs(x2 - ref2.astype(jnp.float32)))
+            / jnp.max(jnp.abs(ref2))
+        )
+        assert rel2 < 5e-6, (N, k, tail, rel2)
+
+
+def test_cr32_mp_backend_refines_to_f64():
+    """backend='cr32' (and the auto route to it) reaches f64 residuals
+    through iterative refinement."""
+    N, k = 24, 8
+    D, L, b = _random_spd_block_tridiag(N, k, seed=5)
+    for be in ("cr32", "auto"):
+        x = block_tridiag_solve_mp(D, L, b, refine_iters=3, backend=be,
+                                   interpret=True)
+        assert x.dtype == jnp.float64
+        resid = b - block_tridiag_matvec(D, L, x)
+        scale = float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(resid))) <= 1e-10 * max(scale, 1.0)
+
+
+def test_batched_gj_inverse():
+    from sleqp_tpu.ops.cyclic_reduction import batched_gj_inverse
+
+    rng = np.random.default_rng(0)
+    for B, k in [(1, 4), (13, 3), (40, 16)]:
+        C = rng.standard_normal((B, k, k))
+        C = np.einsum("bij,bkj->bik", C, C) + 2 * k * np.eye(k)
+        M = batched_gj_inverse(jnp.asarray(C), interpret=True)
+        eye = np.einsum("bij,bjk->bik", np.asarray(M, np.float64), C)
+        assert np.max(np.abs(eye - np.eye(k))) < 1e-4
