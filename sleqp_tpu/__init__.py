@@ -95,6 +95,14 @@ def __getattr__(name: str):
         from .scale import derive_scaling as _ds
 
         return _ds
+    if name == "SparseProblem":
+        from .sparse import SparseProblem as _SparseP
+
+        return _SparseP
+    if name == "sparse_solve":
+        from .sparse import sparse_solve as _ss
+
+        return _ss
     if name == "BlockStructuredProblem":
         from .ocp import BlockStructuredProblem as _BSP
 

@@ -119,6 +119,8 @@ _QUICK_TESTS = {
     ("test_block_tridiag", "test_thomas_vs_dense"),
     ("test_pallas_tridiag", "test_factor_solve_matches_scan"),
     ("test_harness", "test_registry_complete"),
+    ("test_sparse", "test_sparse_unconstrained_quadratic"),
+    ("test_sparse", "test_sparse_matches_dense_path_hs71"),
     ("test_harness", "test_deriv_check_catches_wrong_gradient"),
     ("test_variants", "test_initial_tr_choice"),
 }
