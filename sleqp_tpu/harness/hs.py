@@ -1228,3 +1228,692 @@ def hs113():
     return p, x0, 24.30620907
 
 HS_PROBLEMS = sorted(_REGISTRY.keys(), key=lambda s: int(s[2:]))
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions (suite breadth toward the CUTEst-scale target)
+# ---------------------------------------------------------------------------
+
+
+@_register("hs2")
+def hs2():
+    obj = lambda x: 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+    p, x0 = _make(obj, 2, [-2.0, 1.0], var_lb=[-INF, 1.5])
+    return p, x0, 0.0504261879
+
+
+@_register("hs17")
+def hs17():
+    obj = lambda x: 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+    def cons(x):
+        return jnp.array([x[1] ** 2 - x[0], x[0] ** 2 - x[1]])
+
+    p, x0 = _make(
+        obj,
+        2,
+        [-2.0, 1.0],
+        cons=cons,
+        m=2,
+        var_lb=[-0.5, -INF],
+        var_ub=[0.5, 1.0],
+        cons_lb=0.0,
+        cons_ub=INF,
+    )
+    return p, x0, 1.0
+
+
+@_register("hs20")
+def hs20():
+    obj = lambda x: 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+    def cons(x):
+        return jnp.array(
+            [
+                x[0] + x[1] ** 2,
+                x[0] ** 2 + x[1],
+                x[0] ** 2 + x[1] ** 2 - 1.0,
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        2,
+        [-2.0, 1.0],
+        cons=cons,
+        m=3,
+        var_lb=[-0.5, -INF],
+        var_ub=[0.5, INF],
+        cons_lb=0.0,
+        cons_ub=INF,
+    )
+    return p, x0, 81.5 - 25.0 * math.sqrt(3.0)
+
+
+@_register("hs25")
+def hs25():
+    i = jnp.arange(1.0, 100.0)
+    u = 25.0 + (-50.0 * jnp.log(0.01 * i)) ** (2.0 / 3.0)
+
+    def obj(x):
+        # |u - x2| guard: u_i - x2 >= 0.03 on the feasible box, but
+        # intermediate iterates may graze it
+        base = jnp.maximum(u - x[1], 1e-12)
+        f = -0.01 * i + jnp.exp(-(base ** x[2]) / x[0])
+        return jnp.sum(f * f)
+
+    p, x0 = _make(
+        obj,
+        3,
+        [100.0, 12.5, 3.0],
+        var_lb=[0.1, 0.0, 0.0],
+        var_ub=[100.0, 25.6, 5.0],
+    )
+    return p, x0, 0.0
+
+
+@_register("hs46")
+def hs46():
+    def obj(x):
+        return (
+            (x[0] - x[1]) ** 2
+            + (x[2] - 1.0) ** 2
+            + (x[3] - 1.0) ** 4
+            + (x[4] - 1.0) ** 6
+        )
+
+    def cons(x):
+        return jnp.array(
+            [
+                x[0] ** 2 * x[3] + jnp.sin(x[3] - x[4]) - 1.0,
+                x[1] + x[2] ** 4 * x[3] ** 2 - 2.0,
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        5,
+        [math.sqrt(2.0) / 2.0, 1.75, 0.5, 2.0, 2.0],
+        cons=cons,
+        m=2,
+        cons_lb=0.0,
+        cons_ub=0.0,
+    )
+    return p, x0, 0.0
+
+
+@_register("hs47")
+def hs47():
+    def obj(x):
+        return (
+            (x[0] - x[1]) ** 2
+            + (x[1] - x[2]) ** 3
+            + (x[2] - x[3]) ** 4
+            + (x[3] - x[4]) ** 4
+        )
+
+    def cons(x):
+        return jnp.array(
+            [
+                x[0] + x[1] ** 2 + x[2] ** 3 - 3.0,
+                x[1] - x[2] ** 2 + x[3] - 1.0,
+                x[0] * x[4] - 1.0,
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        5,
+        [2.0, math.sqrt(2.0), -1.0, 2.0 - math.sqrt(2.0), 0.5],
+        cons=cons,
+        m=3,
+        cons_lb=0.0,
+        cons_ub=0.0,
+    )
+    return p, x0, 0.0
+
+
+@_register("hs55")
+def hs55():
+    def obj(x):
+        return x[0] + 2.0 * x[1] + 4.0 * x[4] + jnp.exp(x[0] * x[3])
+
+    def cons(x):
+        return jnp.array(
+            [
+                x[0] + 2.0 * x[1] + 5.0 * x[4] - 6.0,
+                x[0] + x[1] + x[2] - 3.0,
+                x[3] + x[4] + x[5] - 2.0,
+                x[0] + x[3] - 1.0,
+                x[1] + x[4] - 2.0,
+                x[2] + x[5] - 2.0,
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        6,
+        [1.0, 2.0, 0.0, 0.0, 0.0, 2.0],
+        cons=cons,
+        m=6,
+        var_lb=0.0,
+        var_ub=[1.0, INF, INF, 1.0, INF, INF],
+        cons_lb=0.0,
+        cons_ub=0.0,
+    )
+    return p, x0, 19.0 / 3.0
+
+
+@_register("hs56")
+def hs56():
+    def obj(x):
+        return -x[0] * x[1] * x[2]
+
+    def cons(x):
+        return jnp.array(
+            [
+                x[0] - 4.2 * jnp.sin(x[3]) ** 2,
+                x[1] - 4.2 * jnp.sin(x[4]) ** 2,
+                x[2] - 4.2 * jnp.sin(x[5]) ** 2,
+                x[0]
+                + 2.0 * x[1]
+                + 2.0 * x[2]
+                - 7.2 * jnp.sin(x[6]) ** 2,
+            ]
+        )
+
+    a = math.asin(math.sqrt(1.0 / 4.2))
+    b = math.asin(math.sqrt(5.0 / 7.2))
+    p, x0 = _make(
+        obj,
+        7,
+        [1.0, 1.0, 1.0, a, a, a, b],
+        cons=cons,
+        m=4,
+        cons_lb=0.0,
+        cons_ub=0.0,
+    )
+    return p, x0, -3.456
+
+
+@_register("hs61")
+def hs61():
+    def obj(x):
+        return (
+            4.0 * x[0] ** 2
+            + 2.0 * x[1] ** 2
+            + 2.0 * x[2] ** 2
+            - 33.0 * x[0]
+            + 16.0 * x[1]
+            - 24.0 * x[2]
+        )
+
+    def cons(x):
+        return jnp.array(
+            [
+                3.0 * x[0] - 2.0 * x[1] ** 2 - 7.0,
+                4.0 * x[0] - x[2] ** 2 - 11.0,
+            ]
+        )
+
+    p, x0 = _make(
+        obj, 3, [0.0, 0.0, 0.0], cons=cons, m=2, cons_lb=0.0, cons_ub=0.0
+    )
+    return p, x0, -143.6461422
+
+
+@_register("hs62")
+def hs62():
+    def obj(x):
+        s1 = (x[0] + x[1] + x[2] + 0.03) / (
+            0.09 * x[0] + x[1] + x[2] + 0.03
+        )
+        s2 = (x[1] + x[2] + 0.03) / (0.07 * x[1] + x[2] + 0.03)
+        s3 = (x[2] + 0.03) / (0.13 * x[2] + 0.03)
+        return -32.174 * (
+            255.0 * jnp.log(s1) + 280.0 * jnp.log(s2) + 290.0 * jnp.log(s3)
+        )
+
+    def cons(x):
+        return jnp.array([x[0] + x[1] + x[2] - 1.0])
+
+    p, x0 = _make(
+        obj,
+        3,
+        [0.7, 0.2, 0.1],
+        cons=cons,
+        m=1,
+        var_lb=0.0,
+        var_ub=1.0,
+        cons_lb=0.0,
+        cons_ub=0.0,
+    )
+    return p, x0, -26272.51448
+
+
+@_register("hs66")
+def hs66():
+    obj = lambda x: 0.2 * x[2] - 0.8 * x[0]
+
+    def cons(x):
+        return jnp.array(
+            [x[1] - jnp.exp(x[0]), x[2] - jnp.exp(x[1])]
+        )
+
+    p, x0 = _make(
+        obj,
+        3,
+        [0.0, 1.05, 2.9],
+        cons=cons,
+        m=2,
+        var_lb=0.0,
+        var_ub=[100.0, 100.0, 10.0],
+        cons_lb=0.0,
+        cons_ub=INF,
+    )
+    return p, x0, 0.5181632741
+
+
+@_register("hs72")
+def hs72():
+    obj = lambda x: 1.0 + x[0] + x[1] + x[2] + x[3]
+
+    def cons(x):
+        return jnp.array(
+            [
+                4.0 / x[0] + 2.25 / x[1] + 1.0 / x[2] + 0.25 / x[3],
+                0.16 / x[0] + 0.36 / x[1] + 0.64 / x[2] + 0.64 / x[3],
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        4,
+        [1.0, 1.0, 1.0, 1.0],
+        cons=cons,
+        m=2,
+        var_lb=0.001,
+        var_ub=[4.0e5, 3.0e5, 2.0e5, 1.0e5],
+        cons_lb=-INF,
+        cons_ub=[0.0401, 0.010085],
+    )
+    return p, x0, 727.67937
+
+
+@_register("hs73")
+def hs73():
+    obj = lambda x: (
+        24.55 * x[0] + 26.75 * x[1] + 39.0 * x[2] + 40.50 * x[3]
+    )
+
+    def cons(x):
+        quad = (
+            0.28 * x[0] ** 2
+            + 0.19 * x[1] ** 2
+            + 20.5 * x[2] ** 2
+            + 0.62 * x[3] ** 2
+        )
+        return jnp.array(
+            [
+                2.3 * x[0] + 5.6 * x[1] + 11.1 * x[2] + 1.3 * x[3] - 5.0,
+                12.0 * x[0]
+                + 11.9 * x[1]
+                + 41.8 * x[2]
+                + 52.1 * x[3]
+                - 21.0
+                - 1.645 * jnp.sqrt(quad),
+                x[0] + x[1] + x[2] + x[3] - 1.0,
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        4,
+        [1.0, 1.0, 1.0, 1.0],
+        cons=cons,
+        m=3,
+        var_lb=0.0,
+        cons_lb=[0.0, 0.0, 0.0],
+        cons_ub=[INF, INF, 0.0],
+    )
+    return p, x0, 29.894378
+
+
+def _hs74_75(a, f_opt):
+    def factory():
+        def obj(x):
+            return (
+                3.0 * x[0]
+                + 1.0e-6 * x[0] ** 3
+                + 2.0 * x[1]
+                + (2.0e-6 / 3.0) * x[1] ** 3
+            )
+
+        def cons(x):
+            return jnp.array(
+                [
+                    x[3] - x[2] + a,
+                    x[2] - x[3] + a,
+                    1000.0 * jnp.sin(-x[2] - 0.25)
+                    + 1000.0 * jnp.sin(-x[3] - 0.25)
+                    + 894.8
+                    - x[0],
+                    1000.0 * jnp.sin(x[2] - 0.25)
+                    + 1000.0 * jnp.sin(x[2] - x[3] - 0.25)
+                    + 894.8
+                    - x[1],
+                    1000.0 * jnp.sin(x[3] - 0.25)
+                    + 1000.0 * jnp.sin(x[3] - x[2] - 0.25)
+                    + 1294.8,
+                ]
+            )
+
+        p, x0 = _make(
+            obj,
+            4,
+            [0.0, 0.0, 0.0, 0.0],
+            cons=cons,
+            m=5,
+            var_lb=[0.0, 0.0, -a, -a],
+            var_ub=[1200.0, 1200.0, a, a],
+            cons_lb=[0.0, 0.0, 0.0, 0.0, 0.0],
+            cons_ub=[INF, INF, 0.0, 0.0, 0.0],
+        )
+        return p, x0, f_opt
+
+    return factory
+
+
+_REGISTRY["hs74"] = _hs74_75(0.55, 5126.4981)
+_REGISTRY["hs75"] = _hs74_75(0.48, 5174.4127)
+
+
+@_register("hs81")
+def hs81():
+    def obj(x):
+        return jnp.exp(x[0] * x[1] * x[2] * x[3] * x[4]) - 0.5 * (
+            x[0] ** 3 + x[1] ** 3 + 1.0
+        ) ** 2
+
+    def cons(x):
+        return jnp.array(
+            [
+                jnp.vdot(x, x) - 10.0,
+                x[1] * x[2] - 5.0 * x[3] * x[4],
+                x[0] ** 3 + x[1] ** 3 + 1.0,
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        5,
+        [-2.0, 2.0, 2.0, -1.0, -1.0],
+        cons=cons,
+        m=3,
+        var_lb=[-2.3, -2.3, -3.2, -3.2, -3.2],
+        var_ub=[2.3, 2.3, 3.2, 3.2, 3.2],
+        cons_lb=0.0,
+        cons_ub=0.0,
+    )
+    return p, x0, 0.0539498478
+
+
+@_register("hs83")
+def hs83():
+    def obj(x):
+        return (
+            5.3578547 * x[2] ** 2
+            + 0.8356891 * x[0] * x[4]
+            + 37.293239 * x[0]
+            - 40792.141
+        )
+
+    def cons(x):
+        return jnp.array(
+            [
+                85.334407
+                + 0.0056858 * x[1] * x[4]
+                + 0.0006262 * x[0] * x[3]
+                - 0.0022053 * x[2] * x[4],
+                80.51249
+                + 0.0071317 * x[1] * x[4]
+                + 0.0029955 * x[0] * x[1]
+                + 0.0021813 * x[2] ** 2,
+                9.300961
+                + 0.0047026 * x[2] * x[4]
+                + 0.0012547 * x[0] * x[2]
+                + 0.0019085 * x[2] * x[3],
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        5,
+        [78.0, 33.0, 27.0, 27.0, 27.0],
+        cons=cons,
+        m=3,
+        var_lb=[78.0, 33.0, 27.0, 27.0, 27.0],
+        var_ub=[102.0, 45.0, 45.0, 45.0, 45.0],
+        cons_lb=[0.0, 90.0, 20.0],
+        cons_ub=[92.0, 110.0, 25.0],
+    )
+    return p, x0, -30665.53867
+
+
+@_register("hs93")
+def hs93():
+    def obj(x):
+        return (
+            0.0204 * x[0] * x[3] * (x[0] + x[1] + x[2])
+            + 0.0187 * x[1] * x[2] * (x[0] + 1.57 * x[1] + x[3])
+            + 0.0607
+            * x[0]
+            * x[3]
+            * x[4] ** 2
+            * (x[0] + x[1] + x[2])
+            + 0.0437
+            * x[1]
+            * x[2]
+            * x[5] ** 2
+            * (x[0] + 1.57 * x[1] + x[3])
+        )
+
+    def cons(x):
+        return jnp.array(
+            [
+                0.001 * x[0] * x[1] * x[2] * x[3] * x[4] * x[5] - 2.07,
+                1.0
+                - 0.00062
+                * x[0]
+                * x[3]
+                * x[4] ** 2
+                * (x[0] + x[1] + x[2])
+                - 0.00058
+                * x[1]
+                * x[2]
+                * x[5] ** 2
+                * (x[0] + 1.57 * x[1] + x[3]),
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        6,
+        [5.54, 4.4, 12.02, 11.82, 0.702, 0.852],
+        cons=cons,
+        m=2,
+        var_lb=0.0,
+        cons_lb=0.0,
+        cons_ub=INF,
+    )
+    return p, x0, 135.075961
+
+
+@_register("hs104")
+def hs104():
+    def _f(x):
+        return (
+            0.4 * x[0] ** 0.67 * x[6] ** (-0.67)
+            + 0.4 * x[1] ** 0.67 * x[7] ** (-0.67)
+            + 10.0
+            - x[0]
+            - x[1]
+        )
+
+    def cons(x):
+        return jnp.array(
+            [
+                1.0 - 0.0588 * x[4] * x[6] - 0.1 * x[0],
+                1.0 - 0.0588 * x[5] * x[7] - 0.1 * x[0] - 0.1 * x[1],
+                1.0
+                - 4.0 * x[2] / x[4]
+                - 2.0 * x[2] ** (-0.71) / x[4]
+                - 0.0588 * x[2] ** (-1.3) * x[6],
+                1.0
+                - 4.0 * x[3] / x[5]
+                - 2.0 * x[3] ** (-0.71) / x[5]
+                - 0.0588 * x[3] ** (-1.3) * x[7],
+                _f(x),
+            ]
+        )
+
+    p, x0 = _make(
+        _f,
+        8,
+        [6.0, 3.0, 0.4, 0.2, 6.0, 6.0, 1.0, 0.5],
+        cons=cons,
+        m=5,
+        var_lb=0.1,
+        var_ub=10.0,
+        cons_lb=[0.0, 0.0, 0.0, 0.0, 1.0],
+        cons_ub=[INF, INF, INF, INF, 4.2],
+    )
+    return p, x0, 3.9511634396
+
+
+@_register("hs106")
+def hs106():
+    obj = lambda x: x[0] + x[1] + x[2]
+
+    def cons(x):
+        return jnp.array(
+            [
+                1.0 - 0.0025 * (x[3] + x[5]),
+                1.0 - 0.0025 * (x[4] + x[6] - x[3]),
+                1.0 - 0.01 * (x[7] - x[4]),
+                x[0] * x[5]
+                - 833.33252 * x[3]
+                - 100.0 * x[0]
+                + 83333.333,
+                x[1] * x[6] - 1250.0 * x[4] - x[1] * x[3] + 1250.0 * x[3],
+                x[2] * x[7] - 1250000.0 - x[2] * x[4] + 2500.0 * x[4],
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        8,
+        [5000.0, 5000.0, 5000.0, 200.0, 350.0, 150.0, 225.0, 425.0],
+        cons=cons,
+        m=6,
+        var_lb=[100.0, 1000.0, 1000.0, 10.0, 10.0, 10.0, 10.0, 10.0],
+        var_ub=[10000.0] * 3 + [1000.0] * 5,
+        cons_lb=0.0,
+        cons_ub=INF,
+    )
+    return p, x0, 7049.248021
+
+
+@_register("hs111")
+def hs111():
+    c = jnp.array(
+        [
+            -6.089,
+            -17.164,
+            -34.054,
+            -5.914,
+            -24.721,
+            -14.986,
+            -24.1,
+            -10.708,
+            -26.662,
+            -22.179,
+        ]
+    )
+
+    def obj(x):
+        ex = jnp.exp(x)
+        return jnp.sum(ex * (c + x - jnp.log(jnp.sum(ex))))
+
+    def cons(x):
+        e = jnp.exp(x)
+        return jnp.array(
+            [
+                e[0] + 2.0 * e[1] + 2.0 * e[2] + e[5] + e[9] - 2.0,
+                e[3] + 2.0 * e[4] + e[5] + e[6] - 1.0,
+                e[2] + e[6] + e[7] + 2.0 * e[8] + e[9] - 1.0,
+            ]
+        )
+
+    p, x0 = _make(
+        obj,
+        10,
+        [-2.3] * 10,
+        cons=cons,
+        m=3,
+        var_lb=-100.0,
+        var_ub=100.0,
+        cons_lb=0.0,
+        cons_ub=0.0,
+    )
+    return p, x0, -47.76109026
+
+
+@_register("hs118")
+def hs118():
+    def obj(x):
+        k = jnp.arange(5)
+        x1 = x[3 * k]
+        x2 = x[3 * k + 1]
+        x3 = x[3 * k + 2]
+        return jnp.sum(
+            2.3 * x1
+            + 0.0001 * x1 ** 2
+            + 1.7 * x2
+            + 0.0001 * x2 ** 2
+            + 2.2 * x3
+            + 0.00015 * x3 ** 2
+        )
+
+    def cons(x):
+        rows = []
+        for kk in range(1, 5):
+            rows.append(x[3 * kk] - x[3 * kk - 3] + 7.0)
+            rows.append(x[3 * kk + 1] - x[3 * kk - 2] + 7.0)
+            rows.append(x[3 * kk + 2] - x[3 * kk - 1] + 7.0)
+        rows.append(x[0] + x[1] + x[2])
+        rows.append(x[3] + x[4] + x[5])
+        rows.append(x[6] + x[7] + x[8])
+        rows.append(x[9] + x[10] + x[11])
+        rows.append(x[12] + x[13] + x[14])
+        return jnp.stack(rows)
+
+    lo = [0.0, 0.0, 0.0] * 4 + [60.0, 50.0, 70.0, 85.0, 100.0]
+    hi = [13.0, 14.0, 13.0] * 4 + [INF] * 5
+    p, x0 = _make(
+        obj,
+        15,
+        [20.0, 55.0, 15.0, 20.0, 60.0, 20.0, 20.0, 60.0, 20.0, 20.0,
+         60.0, 20.0, 20.0, 60.0, 20.0],
+        cons=cons,
+        m=17,
+        var_lb=[8.0, 43.0, 3.0] + [0.0] * 12,
+        var_ub=[21.0, 57.0, 16.0]
+        + [90.0, 120.0, 60.0] * 4,
+        cons_lb=lo,
+        cons_ub=hi,
+    )
+    return p, x0, 664.82045
+
+
+HS_PROBLEMS = sorted(_REGISTRY.keys(), key=lambda s: int(s[2:]))

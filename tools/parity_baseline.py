@@ -178,7 +178,7 @@ def main() -> None:
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts",
-        "suite_slsqp_r4.csv",
+        "suite_slsqp_r5.csv",
     )
     with open(out, "w") as fh:
         fh.write(
