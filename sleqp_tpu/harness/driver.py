@@ -45,6 +45,18 @@ CSV_HEADER = (
     "seconds;boundary_step;trust_radius;min_rayleigh;max_rayleigh"
 )
 
+# Per-problem solver options (the reference CUTEst driver reads
+# per-problem option files, sleqp_cutest_main.c:29-66; these entries are
+# the same idea inline).  hs62's objective is scaled by ~3e4 so the
+# absolute stationarity tolerance needs nominal-derived scaling;
+# hs111's working-set extraction needs the simplex LP's exact basis
+# (the vertex-enumeration backend's first-order extraction cycles).
+_PROBLEM_OPTIONS: dict = {
+    "hs62": {"scaling": "auto"},
+    "hs111": {"lp_solver": "SIMPLEX"},
+}
+
+
 _STATUS_NAMES = {
     Status.OPTIMAL: "optimal",
     Status.INFEASIBLE: "infeasible",
@@ -148,10 +160,13 @@ def _run_banded_problem(
 def run_problem(
     name: str,
     settings: Optional[Settings] = None,
-    max_iterations: int = 500,
+    max_iterations: int = 3000,
     time_limit: Optional[float] = None,
 ) -> tuple[str, bool, bool]:
-    """Solve one problem; returns (csv_row, solved, objective_matches)."""
+    """Solve one problem; returns (csv_row, solved, objective_matches).
+
+    The iteration cap mirrors the reference default (no iteration limit,
+    solver.c SLEQP_NONE; bounded here so iter_limit rows terminate)."""
     from ..banded import BandedProblem
 
     problem, x0, f_opt = get_problem(name)
@@ -160,7 +175,14 @@ def run_problem(
             name, problem, x0, f_opt, settings, max_iterations,
             time_limit=time_limit,
         )
-    solver = Solver(problem, x0, settings)
+    opts = dict(_PROBLEM_OPTIONS.get(name, {}))
+    scaling = opts.pop("scaling", None)
+    if opts and settings is None:
+        from ..types import LPSolver
+
+        if "lp_solver" in opts:
+            settings = Settings(lp_solver=LPSolver[opts["lp_solver"]])
+    solver = Solver(problem, x0, settings, scaling=scaling)
     start = time.perf_counter()
     status = solver.solve(max_iterations=max_iterations, time_limit=time_limit)
     seconds = time.perf_counter() - start
@@ -195,7 +217,7 @@ def run_problem(
 def run_suite(
     names: Optional[Iterable[str]] = None,
     settings: Optional[Settings] = None,
-    max_iterations: int = 500,
+    max_iterations: int = 3000,
     verbose: bool = False,
 ) -> SuiteResult:
     import jax
