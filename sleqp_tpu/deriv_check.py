@@ -53,21 +53,29 @@ def check_derivatives(
     c0 = np.asarray(problem.cons_val(jnp.asarray(x)))
     J = np.asarray(problem.cons_jac(jnp.asarray(x)))
 
-    for j in range(n):
-        xp = x.copy()
-        xp[j] += h
-        fd = (float(problem.obj_val(jnp.asarray(xp))) - f0) / h
-        if abs(fd - g[j]) > tol * (1.0 + abs(fd)):
-            findings.append(_report("obj_grad", j, fd, g[j], tol))
+    # all n coordinate perturbations as ONE vmapped batch (a python
+    # round-trip per coordinate made the check unusable at the banded/
+    # OCP scales that most need validation)
+    import jax
 
-        if m:
-            cp = np.asarray(problem.cons_val(jnp.asarray(xp)))
-            fd_col = (cp - c0) / h
-            bad = np.abs(fd_col - J[:, j]) > tol * (1.0 + np.abs(fd_col))
-            for i in np.nonzero(bad)[0]:
-                findings.append(
-                    _report(f"cons_jac[{i},", j, fd_col[i], J[i, j], tol)
+    xj = jnp.asarray(x)
+    perturbed = xj[None, :] + h * jnp.eye(n, dtype=xj.dtype)
+    f_all = np.asarray(jax.vmap(problem.obj_val)(perturbed))
+    fd_g = (f_all - f0) / h
+    bad_g = np.abs(fd_g - g) > tol * (1.0 + np.abs(fd_g))
+    for j in np.nonzero(bad_g)[0]:
+        findings.append(_report("obj_grad", int(j), fd_g[j], g[j], tol))
+
+    if m:
+        c_all = np.asarray(jax.vmap(problem.cons_val)(perturbed))  # (n, m)
+        fd_J = (c_all - c0[None, :]) / h  # fd_J[j, i] = dc_i/dx_j
+        bad = np.abs(fd_J.T - J) > tol * (1.0 + np.abs(fd_J.T))
+        for i, j in zip(*np.nonzero(bad)):
+            findings.append(
+                _report(
+                    f"cons_jac[{int(i)},", int(j), fd_J[j, i], J[i, j], tol
                 )
+            )
 
     if check_second_order:
         rng = np.random.default_rng(0)
