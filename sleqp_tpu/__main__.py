@@ -74,11 +74,15 @@ def main(argv=None) -> int:
 
     from .settings import Settings, read_settings_file, read_settings_string
 
-    settings = Settings()
-    if args.settings:
-        settings = read_settings_file(args.settings, settings)
-    if args.set:
-        settings = read_settings_string("\n".join(args.set), settings)
+    # settings stays None unless the user configured any — run_problem
+    # applies its per-problem option table only for default settings
+    settings = None
+    if args.settings or args.set:
+        settings = Settings()
+        if args.settings:
+            settings = read_settings_file(args.settings, settings)
+        if args.set:
+            settings = read_settings_string("\n".join(args.set), settings)
 
     if args.suite:
         from .harness import CSV_HEADER, run_suite

@@ -20,7 +20,7 @@ layout AMPL reads back (ampl_output.c analogue).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -177,11 +177,11 @@ def run_problem(
         )
     opts = dict(_PROBLEM_OPTIONS.get(name, {}))
     scaling = opts.pop("scaling", None)
-    if opts and settings is None:
+    if "lp_solver" in opts:
         from ..types import LPSolver
 
-        if "lp_solver" in opts:
-            settings = Settings(lp_solver=LPSolver[opts["lp_solver"]])
+        base = settings if settings is not None else Settings()
+        settings = base.replace(lp_solver=LPSolver[opts["lp_solver"]])
     solver = Solver(problem, x0, settings, scaling=scaling)
     start = time.perf_counter()
     status = solver.solve(max_iterations=max_iterations, time_limit=time_limit)

@@ -68,11 +68,11 @@ def test_medium_registry_complete():
     from sleqp_tpu.harness.large import LARGE_PROBLEMS
     from sleqp_tpu.harness.medium import MEDIUM_PROBLEMS
 
-    assert len(MEDIUM_PROBLEMS) == 7
+    assert len(MEDIUM_PROBLEMS) == 17
     assert len(LARGE_PROBLEMS) == 3
     assert set(MEDIUM_PROBLEMS) <= set(ALL_PROBLEMS)
     assert set(LARGE_PROBLEMS) <= set(ALL_PROBLEMS)
-    assert len(ALL_PROBLEMS) == 59 + 7 + 3
+    assert len(ALL_PROBLEMS) == 81 + 17 + 3
 
 
 def test_banded_slack_res_is_measured():
