@@ -293,9 +293,13 @@ def _kkt_diagnostics(device, mixed: bool = False) -> dict:
                 # banded.py's delta-form KKT stays on scan32 (inverse-form
                 # levels diverge at its conditioning) and is measured by
                 # its own end-to-end entry.
+                # refine=2 reaches the f64 roundoff floor on this
+                # system (measured 6.4e-15 relative residual on-chip;
+                # refine=3 is identical at 6.6e-15) — the extra pass
+                # only buys another emulated-f64 residual matvec
                 fn = jax.jit(
                     lambda D, L, b: block_tridiag_solve_mp(
-                        D, L, b, refine_iters=3, backend="cr32"
+                        D, L, b, refine_iters=2, backend="cr32"
                     )
                 )
             else:
