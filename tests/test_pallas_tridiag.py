@@ -264,7 +264,9 @@ def test_batched_gj_inverse():
     from sleqp_tpu.ops.cyclic_reduction import batched_gj_inverse
 
     rng = np.random.default_rng(0)
-    for B, k in [(1, 4), (13, 3), (40, 16)]:
+    # k=64 exercises the blocked 2x2 Schur kernel path, k=32/16 the flat
+    # one-hot sweep, k=3 the tiny/padding path
+    for B, k in [(1, 4), (13, 3), (40, 16), (9, 32), (6, 64)]:
         C = rng.standard_normal((B, k, k))
         C = np.einsum("bij,bkj->bik", C, C) + 2 * k * np.eye(k)
         M = batched_gj_inverse(jnp.asarray(C), interpret=True)
