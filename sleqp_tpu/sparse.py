@@ -416,6 +416,7 @@ def _kkt_solve_cg(
     frozen: Array,
     reg: Array,
     cg_tol,
+    mixed: bool = False,
 ):
     """Delta-form condensed EQP via matrix-free CG.
 
@@ -426,7 +427,16 @@ def _kkt_solve_cg(
     subspace); returns (d, dlam, cg_iters) with dlam the multiplier
     INCREMENT (callers form lam_qp = lam_act + dlam), exactly the
     banded path's formulation (banded.py::_kkt_solve).
+
+    ``mixed=True`` (Settings.compute_dtype="float32" on a float64
+    problem) runs the bulk CG iterations through a float32-traced
+    operator — on TPU the f64 jvp/vjp matvecs are software-emulated and
+    measured ~20x slower than f32 at n = 5e4 — and finishes with a
+    float64 CG polish warm-started from the f32 solution, so the
+    returned step carries float64 accuracy.
     """
+    from .types import f32_compute_scope
+
     dtype = problem.dtype
     free = (~frozen).astype(dtype)
     actf = act.astype(dtype)
@@ -441,8 +451,51 @@ def _kkt_solve_cg(
             out = out + inv_delta * problem.vjp(x, Jv)
         return out * free
 
+    if mixed:
+        # float32-traced copy of K: enable_x64(False) at trace time
+        # demotes the f64 constants closed over by the user's functions
+        with f32_compute_scope():
+            x32 = x.astype(jnp.float32)
+            lam32 = lam_act.astype(jnp.float32)
+            free32 = free.astype(jnp.float32)
+            act32 = actf.astype(jnp.float32)
+            reg32 = reg.astype(jnp.float32)
+            invd32 = jnp.asarray(1.0 / DELTA, jnp.float32)
+
+            def K32(v):
+                vf = v * free32
+                Hv = problem.lag_hess_prod(x32, lam32, vf)
+                out = Hv + reg32 * vf
+                if problem.m:
+                    Jv = problem.jvp(x32, vf) * act32
+                    out = out + invd32 * problem.vjp(x32, Jv)
+                return out * free32
+
+    def solve_K(rhs, x0, final: bool):
+        """One inner solve: f32 bulk + (on the final AL pass) f64 polish."""
+        if not mixed:
+            return _cg(K, rhs, cg_tol, problem.cg_iters, dtype, x0=x0)
+        with f32_compute_scope():
+            d32, it = _cg(
+                K32,
+                rhs.astype(jnp.float32),
+                jnp.asarray(1e-7, jnp.float32),
+                problem.cg_iters,
+                jnp.float32,
+                x0=x0.astype(jnp.float32),
+            )
+        d = d32.astype(dtype)
+        if final:
+            d2, it2 = _cg(
+                K, rhs, cg_tol, max(problem.cg_iters // 4, 25), dtype, x0=d
+            )
+            return d2, it + it2
+        return d, it
+
     if not problem.m:
-        d, it = _cg(K, -(g_eff * free), cg_tol, problem.cg_iters, dtype)
+        d, it = solve_K(
+            -(g_eff * free), jnp.zeros((problem.n,), dtype), final=True
+        )
         return d * free, jnp.zeros((0,), dtype), it
 
     # AL multiplier refinement: each pass solves the moderately
@@ -452,11 +505,11 @@ def _kkt_solve_cg(
     dlam = jnp.zeros((problem.m,), dtype)
     d = jnp.zeros((problem.n,), dtype)
     it_total = jnp.asarray(0, jnp.int32)
-    for _ in range(AL_ITERS):
+    for k_al in range(AL_ITERS):
         rhs = -(g_eff * free) + problem.vjp(
             x, (inv_delta * target - dlam) * actf
         ) * free
-        d, it = _cg(K, rhs, cg_tol, problem.cg_iters, dtype, x0=d)
+        d, it = solve_K(rhs, d, final=k_al == AL_ITERS - 1)
         d = d * free
         Jd = problem.jvp(x, d)
         dlam = dlam + (Jd - target) * inv_delta * actf
@@ -549,8 +602,13 @@ def _optimality_iteration(
 
     # ---- EQP step via CG ----------------------------------------------
     cg_tol = jnp.asarray(1e-10, dtype)
+    mixed = (
+        settings.compute_dtype == "float32"
+        and jnp.dtype(dtype) == jnp.float64
+    )
     d, dlam, cg_it = _kkt_solve_cg(
-        problem, x, lam_act, act, target, r, frozen, state.reg, cg_tol
+        problem, x, lam_act, act, target, r, frozen, state.reg, cg_tol,
+        mixed=mixed,
     )
     lam_qp = lam_act + dlam
     step_ok = jnp.all(jnp.isfinite(d)) & jnp.all(jnp.isfinite(lam_qp))

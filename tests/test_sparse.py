@@ -138,3 +138,16 @@ def test_sparse_scattered_50k():
     lam = np.asarray(st.lam)
     act = np.asarray(st.act_low | st.act_up)
     assert np.all(lam[~act] == 0.0)
+
+
+def test_sparse_mixed_precision():
+    """compute_dtype='float32' routes the CG bulk through a float32
+    operator with a float64 polish — same KKT tolerances."""
+    n = 2000
+    p, tgt = _scattered_problem(n)
+    st = sparse_solve(
+        p, Settings(compute_dtype="float32"), max_iterations=100
+    )
+    assert int(st.status) == Status.OPTIMAL
+    assert float(st.feas_res) <= 1e-6
+    assert float(st.stat_res) <= 1e-6
